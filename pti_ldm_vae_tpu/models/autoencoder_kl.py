@@ -1,0 +1,429 @@
+"""AutoencoderKL — convolutional VAE, TPU-native (Flax/NHWC).
+
+Functional equivalent of MONAI 1.5.1 ``monai.networks.nets.AutoencoderKL`` as
+wrapped by the reference (``src/pti_ldm_vae/models/autoencoder.py:48-103``,
+config knobs documented at ``config/README.md:29-101``). Architecture (CompVis
+VAE lineage, per SURVEY.md §2.2):
+
+* encoder: conv_in 3x3 -> per level {num_res_blocks x ResBlock
+  (GroupNorm->SiLU->Conv3x3, 1x1 skip on channel change) [+ optional
+  self-attention]} -> asymmetric-pad strided-conv downsample between levels
+  -> optional non-local mid block (ResBlock -> SpatialAttention -> ResBlock)
+  -> GroupNorm -> SiLU -> Conv3x3 to latent_channels
+* two 1x1 quant convs produce ``z_mu`` and a log-variance clamped to
+  [-30, 20]; ``sigma = exp(0.5 * logvar)``; sampling ``z = mu + eps * sigma``
+* decoder mirrors the encoder with nearest-x2-upsample + conv.
+
+Differences from the torch reference — all deliberate, TPU-first:
+
+* NHWC layout (XLA's native TPU conv layout) instead of NCHW,
+* GroupNorm+SiLU optionally fused via a Pallas kernel (``use_pallas``),
+* pure-functional apply; sampling takes an explicit PRNG key,
+* compute dtype policy (bf16 compute / f32 params) via ``compute_dtype``.
+
+Note on the sigma/logvar question (SURVEY.md §2.4.1): like MONAI, ``encode``
+returns ``(z_mu, z_sigma)`` and ``__call__`` returns
+``(reconstruction, z_mu, z_sigma)``. The *reference trains its KL on the
+sigma tensor as if it were a log-variance* — that behavior lives in
+``losses/kl.py`` (``kl_mode="reference"``), not here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import multi_head_attention
+from ..ops.norm import group_norm, group_norm_silu
+from ..ops.resize import upsample_nearest_2x
+
+__all__ = ["AutoencoderKL", "autoencoder_from_config"]
+
+LOGVAR_CLAMP_MIN = -30.0
+LOGVAR_CLAMP_MAX = 20.0
+
+
+class GroupNormOp(nn.Module):
+    """GroupNorm with optional fused SiLU (parameters: scale/bias, shape [C])."""
+
+    num_groups: int
+    eps: float
+    silu: bool = False
+    use_pallas: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        if self.silu:
+            return group_norm_silu(
+                x, scale, bias, num_groups=self.num_groups, eps=self.eps, use_pallas=self.use_pallas
+            )
+        return group_norm(x, scale, bias, num_groups=self.num_groups, eps=self.eps)
+
+
+class ResBlock(nn.Module):
+    """GroupNorm->SiLU->Conv3x3 (x2) residual block with 1x1 skip on channel change.
+
+    Equivalent of MONAI ``AEKLResBlock`` (SURVEY.md §2.2)."""
+
+    out_channels: int
+    norm_num_groups: int
+    norm_eps: float
+    use_pallas: bool = False
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1]
+        h = GroupNormOp(
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm1"
+        )(x)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1,
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv1",
+        )(h)
+        h = GroupNormOp(
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm2"
+        )(h)
+        h = nn.Conv(
+            self.out_channels, (3, 3), padding=1,
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv2",
+        )(h)
+        if in_channels != self.out_channels:
+            x = nn.Conv(
+                self.out_channels, (1, 1),
+                dtype=self.compute_dtype, param_dtype=self.param_dtype, name="nin_shortcut",
+            )(x)
+        return x + h
+
+
+class SpatialAttentionBlock(nn.Module):
+    """GroupNorm -> multi-head self-attention over HW tokens -> residual add.
+
+    Equivalent of MONAI ``SpatialAttentionBlock`` (bottleneck non-local
+    attention; ``config/vae_dente_no_adv.json:45-49``). ``num_head_channels``
+    None means a single head (MONAI default)."""
+
+    norm_num_groups: int
+    norm_eps: float
+    num_head_channels: int | None = None
+    use_pallas: bool = False
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        b, h, w, c = x.shape
+        num_heads = c // self.num_head_channels if self.num_head_channels else 1
+        residual = x
+        xn = GroupNormOp(self.norm_num_groups, self.norm_eps, name="norm")(x)
+        seq = xn.reshape(b, h * w, c)
+        q = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_q")(seq)
+        k = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_k")(seq)
+        v = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_v")(seq)
+        out = multi_head_attention(q, k, v, num_heads=num_heads, use_pallas=self.use_pallas)
+        out = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="proj_attn")(out)
+        return residual + out.reshape(b, h, w, c)
+
+
+class Downsample(nn.Module):
+    """Asymmetric (0,1) pad + 3x3 stride-2 valid conv (MONAI ``AEKLDownsample``)."""
+
+    channels: int
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        return nn.Conv(
+            self.channels, (3, 3), strides=(2, 2), padding="VALID",
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Upsample(nn.Module):
+    """Nearest x2 + 3x3 conv (MONAI decoder upsample, non-transposed)."""
+
+    channels: int
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = upsample_nearest_2x(x)
+        return nn.Conv(
+            self.channels, (3, 3), padding=1,
+            dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv",
+        )(x)
+
+
+class Encoder(nn.Module):
+    channels: Sequence[int]
+    latent_channels: int
+    num_res_blocks: Sequence[int]
+    norm_num_groups: int
+    norm_eps: float
+    attention_levels: Sequence[bool]
+    with_nonlocal_attn: bool
+    use_pallas: bool = False
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        p = dict(param_dtype=self.param_dtype, dtype=self.compute_dtype)
+        rb = dict(
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )
+        h = nn.Conv(self.channels[0], (3, 3), padding=1, name="conv_in", **p)(x)
+        for level, ch in enumerate(self.channels):
+            for block in range(self.num_res_blocks[level]):
+                h = ResBlock(ch, name=f"down_{level}_res_{block}", **rb)(h)
+                if self.attention_levels[level]:
+                    h = SpatialAttentionBlock(
+                        self.norm_num_groups,
+                        self.norm_eps,
+                        use_pallas=self.use_pallas,
+                        compute_dtype=self.compute_dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"down_{level}_attn_{block}",
+                    )(h)
+            if level != len(self.channels) - 1:
+                h = Downsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"down_{level}_downsample")(h)
+        if self.with_nonlocal_attn:
+            h = ResBlock(self.channels[-1], name="mid_res_1", **rb)(h)
+            h = SpatialAttentionBlock(
+                self.norm_num_groups,
+                self.norm_eps,
+                use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype,
+                name="mid_attn",
+            )(h)
+            h = ResBlock(self.channels[-1], name="mid_res_2", **rb)(h)
+        h = GroupNormOp(
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
+            name="norm_out",
+        )(h)
+        return nn.Conv(self.latent_channels, (3, 3), padding=1, name="conv_out", **p)(h)
+
+
+class Decoder(nn.Module):
+    channels: Sequence[int]
+    out_channels: int
+    num_res_blocks: Sequence[int]
+    norm_num_groups: int
+    norm_eps: float
+    attention_levels: Sequence[bool]
+    with_nonlocal_attn: bool
+    use_pallas: bool = False
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
+        p = dict(param_dtype=self.param_dtype, dtype=self.compute_dtype)
+        rb = dict(
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )
+        rev_channels = list(reversed(self.channels))
+        rev_res_blocks = list(reversed(self.num_res_blocks))
+        rev_attention = list(reversed(self.attention_levels))
+
+        h = nn.Conv(rev_channels[0], (3, 3), padding=1, name="conv_in", **p)(z)
+        if self.with_nonlocal_attn:
+            h = ResBlock(rev_channels[0], name="mid_res_1", **rb)(h)
+            h = SpatialAttentionBlock(
+                self.norm_num_groups,
+                self.norm_eps,
+                use_pallas=self.use_pallas,
+                compute_dtype=self.compute_dtype,
+                param_dtype=self.param_dtype,
+                name="mid_attn",
+            )(h)
+            h = ResBlock(rev_channels[0], name="mid_res_2", **rb)(h)
+        for level, ch in enumerate(rev_channels):
+            for block in range(rev_res_blocks[level]):
+                h = ResBlock(ch, name=f"up_{level}_res_{block}", **rb)(h)
+                if rev_attention[level]:
+                    h = SpatialAttentionBlock(
+                        self.norm_num_groups,
+                        self.norm_eps,
+                        use_pallas=self.use_pallas,
+                        compute_dtype=self.compute_dtype,
+                        param_dtype=self.param_dtype,
+                        name=f"up_{level}_attn_{block}",
+                    )(h)
+            if level != len(rev_channels) - 1:
+                h = Upsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"up_{level}_upsample")(h)
+        h = GroupNormOp(
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
+            name="norm_out",
+        )(h)
+        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out", **p)(h)
+
+
+class AutoencoderKL(nn.Module):
+    """Conv VAE with KL-regularized latent space (NHWC in/out).
+
+    API parity with the reference wrapper ``VAEModel``
+    (``src/pti_ldm_vae/models/autoencoder.py:105-163``):
+
+    * ``__call__(x, rng)``            -> (reconstruction, z_mu, z_sigma)
+    * ``encode(x)``                   -> (z_mu, z_sigma)
+    * ``encode_deterministic(x)``     -> z_mu
+    * ``encode_stage_2_inputs(x, rng)``-> sampled z
+    * ``decode_stage_2_outputs(z)``   -> reconstruction
+    * ``reconstruct_deterministic(x)``-> decode(z_mu)
+    """
+
+    spatial_dims: int = 2
+    in_channels: int = 1
+    out_channels: int = 1
+    latent_channels: int = 4
+    channels: Sequence[int] = (32, 64, 128, 128)
+    num_res_blocks: Sequence[int] | int = 2
+    norm_num_groups: int = 32
+    norm_eps: float = 1e-6
+    attention_levels: Sequence[bool] | None = None
+    with_encoder_nonlocal_attn: bool = True
+    with_decoder_nonlocal_attn: bool = True
+    use_pallas: bool = False
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    def setup(self) -> None:
+        if self.spatial_dims != 2:
+            raise NotImplementedError("TPU build currently implements spatial_dims=2")
+        n_levels = len(self.channels)
+        num_res_blocks = (
+            (self.num_res_blocks,) * n_levels
+            if isinstance(self.num_res_blocks, int)
+            else tuple(self.num_res_blocks)
+        )
+        attention_levels = (
+            (False,) * n_levels
+            if self.attention_levels is None
+            else tuple(self.attention_levels)
+        )
+        self.encoder = Encoder(
+            channels=self.channels,
+            latent_channels=self.latent_channels,
+            num_res_blocks=num_res_blocks,
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            attention_levels=attention_levels,
+            with_nonlocal_attn=self.with_encoder_nonlocal_attn,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.decoder = Decoder(
+            channels=self.channels,
+            out_channels=self.out_channels,
+            num_res_blocks=num_res_blocks,
+            norm_num_groups=self.norm_num_groups,
+            norm_eps=self.norm_eps,
+            attention_levels=attention_levels,
+            with_nonlocal_attn=self.with_decoder_nonlocal_attn,
+            use_pallas=self.use_pallas,
+            compute_dtype=self.compute_dtype,
+            param_dtype=self.param_dtype,
+        )
+        self.quant_conv_mu = nn.Conv(
+            self.latent_channels, (1, 1),
+            dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )
+        self.quant_conv_log_sigma = nn.Conv(
+            self.latent_channels, (1, 1),
+            dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )
+        self.post_quant_conv = nn.Conv(
+            self.latent_channels, (1, 1),
+            dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )
+
+    def encode(self, x: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Returns (z_mu, z_sigma); logvar clamped to [-30, 20] like MONAI."""
+        h = self.encoder(x.astype(self.compute_dtype))
+        z_mu = self.quant_conv_mu(h)
+        z_log_var = self.quant_conv_log_sigma(h)
+        z_log_var = jnp.clip(
+            z_log_var.astype(jnp.float32), LOGVAR_CLAMP_MIN, LOGVAR_CLAMP_MAX
+        )
+        z_sigma = jnp.exp(0.5 * z_log_var)
+        return z_mu.astype(jnp.float32), z_sigma
+
+    def sampling(self, z_mu: jnp.ndarray, z_sigma: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        eps = jax.random.normal(rng, z_mu.shape, dtype=z_mu.dtype)
+        return z_mu + eps * z_sigma
+
+    def decode(self, z: jnp.ndarray) -> jnp.ndarray:
+        z = self.post_quant_conv(z.astype(self.compute_dtype))
+        return self.decoder(z).astype(jnp.float32)
+
+    def __call__(
+        self, x: jnp.ndarray, rng: jax.Array
+    ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        z_mu, z_sigma = self.encode(x)
+        z = self.sampling(z_mu, z_sigma, rng)
+        reconstruction = self.decode(z)
+        return reconstruction, z_mu, z_sigma
+
+    def encode_stage_2_inputs(self, x: jnp.ndarray, rng: jax.Array) -> jnp.ndarray:
+        z_mu, z_sigma = self.encode(x)
+        return self.sampling(z_mu, z_sigma, rng)
+
+    def encode_deterministic(self, x: jnp.ndarray) -> jnp.ndarray:
+        z_mu, _ = self.encode(x)
+        return z_mu
+
+    def decode_stage_2_outputs(self, z: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(z)
+
+    def reconstruct_deterministic(self, x: jnp.ndarray) -> jnp.ndarray:
+        return self.decode(self.encode_deterministic(x))
+
+
+def autoencoder_from_config(
+    config: dict,
+    *,
+    use_pallas: bool = False,
+    compute_dtype: Any = jnp.float32,
+) -> AutoencoderKL:
+    """Build an AutoencoderKL from a reference-format ``autoencoder_def`` dict
+    (parity with ``VAEModel.from_config``, ``autoencoder.py:81-103``)."""
+    return AutoencoderKL(
+        spatial_dims=config["spatial_dims"],
+        in_channels=config["in_channels"],
+        out_channels=config["out_channels"],
+        latent_channels=config["latent_channels"],
+        channels=tuple(config["channels"]),
+        num_res_blocks=config.get("num_res_blocks", 2),
+        norm_num_groups=config.get("norm_num_groups", 32),
+        norm_eps=config.get("norm_eps", 1e-6),
+        attention_levels=(
+            tuple(config["attention_levels"])
+            if config.get("attention_levels") is not None
+            else None
+        ),
+        with_encoder_nonlocal_attn=config.get("with_encoder_nonlocal_attn", True),
+        with_decoder_nonlocal_attn=config.get("with_decoder_nonlocal_attn", True),
+        use_pallas=use_pallas,
+        compute_dtype=compute_dtype,
+    )

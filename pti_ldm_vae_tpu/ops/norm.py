@@ -1,0 +1,82 @@
+"""Normalization ops (NHWC), with an optional fused Pallas GroupNorm+SiLU path.
+
+The VAE hot loop is dominated by [GroupNorm -> SiLU -> Conv3x3] blocks
+(reference: MONAI ``AEKLResBlock``, see SURVEY.md §2.2). XLA already fuses the
+elementwise chain into the conv's input; the Pallas kernel in
+``ops/pallas/groupnorm_silu.py`` additionally fuses the two reduction passes
+into a single VMEM-resident pass. Both paths produce identical math:
+
+    y = silu((x - mean_g) / sqrt(var_g + eps) * scale + bias)
+
+with mean/var over each group's (H, W, C/G) slab, matching
+``torch.nn.GroupNorm`` (biased variance).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["group_norm", "group_norm_silu", "instance_norm"]
+
+
+def group_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_groups: int,
+    eps: float = 1e-6,
+) -> jnp.ndarray:
+    """GroupNorm over NHWC input; statistics in f32 regardless of input dtype."""
+    b, h, w, c = x.shape
+    if c % num_groups:
+        raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
+    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
+    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
+    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(b, h, w, c)
+    out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return out.astype(x.dtype)
+
+
+def group_norm_silu(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    *,
+    num_groups: int,
+    eps: float = 1e-6,
+    use_pallas: bool = False,
+) -> jnp.ndarray:
+    """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel."""
+    if use_pallas:
+        from .pallas.groupnorm_silu import groupnorm_silu_pallas
+
+        return groupnorm_silu_pallas(x, scale, bias, num_groups=num_groups, eps=eps)
+    y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps)
+    yf = y.astype(jnp.float32)
+    return (yf * (1.0 / (1.0 + jnp.exp(-yf)))).astype(x.dtype)
+
+
+def instance_norm(
+    x: jnp.ndarray,
+    *,
+    eps: float = 1e-5,
+    scale: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """InstanceNorm2d over NHWC (per-sample, per-channel spatial stats).
+
+    Matches ``torch.nn.InstanceNorm2d`` defaults (``affine=False``,
+    ``track_running_stats=False``) as used by the reference's
+    PatchDiscriminator (``train_vae.py:268-275``, norm="INSTANCE").
+    """
+    xf = x.astype(jnp.float32)
+    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    out = (xf - mean) / jnp.sqrt(var + eps)
+    if scale is not None:
+        out = out * scale.astype(jnp.float32)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32)
+    return out.astype(x.dtype)

@@ -1,0 +1,31 @@
+"""Test configuration: force JAX onto a virtual 8-device CPU mesh.
+
+Multi-chip hardware is not available in CI; the idiomatic JAX answer is
+``--xla_force_host_platform_device_count`` (SURVEY.md §4).
+
+Note: this environment's TPU plugin (axon) registers itself from
+``sitecustomize`` and programmatically sets ``jax_platforms``, so the
+``JAX_PLATFORMS`` env var alone is NOT sufficient — we must override via
+``jax.config`` after import, before any backend is touched.
+"""
+
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+# Make the repo root importable regardless of pytest rootdir resolution.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def pytest_configure(config):
+    assert jax.default_backend() == "cpu", "tests must run on the virtual CPU mesh"
+    assert jax.device_count() == 8, "expected 8 virtual CPU devices"

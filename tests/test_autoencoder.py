@@ -1,0 +1,108 @@
+"""AutoencoderKL structural + behavioral tests.
+
+Real-value tests run on a tiny model; full reference-architecture checks use
+``jax.eval_shape`` (abstract evaluation — no compile, no FLOPs) to keep the
+suite fast on CPU.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL, autoencoder_from_config
+
+TINY = dict(
+    spatial_dims=2,
+    in_channels=1,
+    out_channels=1,
+    latent_channels=4,
+    channels=(8, 16),
+    num_res_blocks=1,
+    norm_num_groups=4,
+    norm_eps=1e-6,
+    attention_levels=(False, False),
+    with_encoder_nonlocal_attn=True,
+    with_decoder_nonlocal_attn=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_model():
+    model = AutoencoderKL(**TINY)
+    x = jnp.zeros((2, 16, 16, 1))
+    variables = model.init(jax.random.key(0), x, jax.random.key(1))
+    return model, variables
+
+
+def test_forward_shapes(tiny_model):
+    model, variables = tiny_model
+    x = jnp.ones((2, 16, 16, 1))
+    recon, z_mu, z_sigma = model.apply(variables, x, jax.random.key(2))
+    assert recon.shape == (2, 16, 16, 1)
+    # 2 levels -> one downsample -> latent spatial 8x8
+    assert z_mu.shape == (2, 8, 8, 4)
+    assert z_sigma.shape == (2, 8, 8, 4)
+    assert np.all(np.isfinite(np.asarray(recon)))
+    assert np.all(np.asarray(z_sigma) > 0)
+
+
+def test_deterministic_encode_decode(tiny_model):
+    model, variables = tiny_model
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 1)).astype(np.float32))
+    z1 = model.apply(variables, x, method=model.encode_deterministic)
+    z2 = model.apply(variables, x, method=model.encode_deterministic)
+    np.testing.assert_array_equal(np.asarray(z1), np.asarray(z2))
+    recon = model.apply(variables, x, method=model.reconstruct_deterministic)
+    assert recon.shape == x.shape
+
+
+def test_sampling_uses_rng(tiny_model):
+    model, variables = tiny_model
+    x = jnp.ones((1, 16, 16, 1))
+    z_a = model.apply(variables, x, jax.random.key(1), method=model.encode_stage_2_inputs)
+    z_b = model.apply(variables, x, jax.random.key(2), method=model.encode_stage_2_inputs)
+    assert not np.allclose(np.asarray(z_a), np.asarray(z_b))
+
+
+def test_bf16_compute_policy(tiny_model):
+    model = AutoencoderKL(**TINY, compute_dtype=jnp.bfloat16)
+    _, variables = tiny_model  # params are dtype-policy independent
+    x = jnp.ones((1, 16, 16, 1))
+    recon, z_mu, z_sigma = model.apply(variables, x, jax.random.key(2))
+    # Params stay f32; public outputs are f32 (cast at boundaries).
+    assert all(p.dtype == jnp.float32 for p in jax.tree.leaves(variables))
+    assert recon.dtype == jnp.float32 and z_mu.dtype == jnp.float32
+
+
+def test_reference_config_architecture_abstract():
+    """Full reference architecture: shapes + parameter count via eval_shape."""
+    from pti_ldm_vae_tpu.config import load_config
+
+    cfg = load_config("/root/reference/config/vae_dente_no_adv.json")
+    model = autoencoder_from_config(cfg["autoencoder_def"])
+    assert model.channels == (32, 64, 128, 128)
+    assert model.latent_channels == 4
+    assert model.norm_num_groups == 16
+
+    x = jax.ShapeDtypeStruct((8, 256, 256, 1), jnp.float32)
+    rng = jax.ShapeDtypeStruct((), jnp.uint32)
+    variables = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), jnp.zeros(x.shape, x.dtype), jax.random.key(1))
+    )
+    n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(variables))
+    assert 1_000_000 < n_params < 30_000_000, n_params
+
+    out = jax.eval_shape(
+        lambda v, xx: model.apply(v, xx, method=model.encode_deterministic),
+        variables,
+        x,
+    )
+    # 4 levels -> 3 downsamples: 256 -> 32 latent spatial, 4 channels.
+    assert out.shape == (8, 32, 32, 4)
+
+    recon, z_mu, z_sigma = jax.eval_shape(
+        lambda v, xx: model.apply(v, xx, jax.random.key(2)), variables, x
+    )
+    assert recon.shape == (8, 256, 256, 1)
+    assert z_mu.shape == z_sigma.shape == (8, 32, 32, 4)
