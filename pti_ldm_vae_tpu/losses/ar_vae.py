@@ -111,11 +111,15 @@ def compute_ar_vae_loss(
     spec: ARVaeSpec,
     *,
     rng: jax.Array | None = None,
+    sample_mask: jnp.ndarray | None = None,
 ) -> tuple[jnp.ndarray, dict[str, jnp.ndarray], dict[str, jnp.ndarray]]:
     """Returns (total_loss, losses_per_attr, pair_counts_per_attr).
 
     ``rng`` is required for ``pairwise_mode="subset"`` (replaces the
     reference's untraced ``random.sample``, ``losses.py:133-136``).
+    ``sample_mask`` ([B], 1=valid) excludes zero-padded samples from all
+    pairs — needed because this framework pads the final batch to a static
+    shape (the reference ships a ragged final batch instead).
     """
     z = _pool_latents(latent_vectors).astype(jnp.float32)  # [B, C]
     batch = z.shape[0]
@@ -136,6 +140,9 @@ def compute_ar_vae_loss(
         d_z = z_sel[:, None, :] - z_sel[:, :, None]
         ordering = jnp.sign(d_a)
         mask = ordering != 0.0  # diagonal excluded automatically (Da_ii == 0)
+        if sample_mask is not None:
+            valid = sample_mask.astype(bool)
+            mask = mask & valid[None, :, None] & valid[None, None, :]
         pred = jnp.tanh(deltas[:, :, None] * d_z)
         sq = jnp.square(pred - ordering) * mask
         counts = jnp.sum(mask, axis=(1, 2))
@@ -153,6 +160,9 @@ def compute_ar_vae_loss(
         d_z = z_sel[:, idx_j] - z_sel[:, idx_i]
         ordering = jnp.sign(d_a)
         mask = ordering != 0.0
+        if sample_mask is not None:
+            valid = sample_mask.astype(bool)
+            mask = mask & valid[None, idx_i] & valid[None, idx_j]
         pred = jnp.tanh(deltas * d_z)
         sq = jnp.square(pred - ordering) * mask
         counts = jnp.sum(mask, axis=1)

@@ -37,6 +37,7 @@ __all__ = [
     "load_lpips_params",
     "lpips_features",
     "lpips_distance",
+    "lpips_distance_per_sample",
 ]
 
 # LPIPS published scaling constants (RGB).
@@ -186,12 +187,10 @@ def _unit_normalize(feat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
     return feat / (norm + eps)
 
 
-def lpips_distance(params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
-    """Scalar LPIPS distance, mean over batch (MONAI PerceptualLoss contract).
-
-    Inputs: NHWC, 1 or 3 channels, any real range (the caller decides
-    normalization; the reference feeds z-scored images as-is).
-    """
+def lpips_distance_per_sample(
+    params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray
+) -> jnp.ndarray:
+    """Per-sample [B] LPIPS distances (for masked batch means)."""
     x = ensure_three_channels(x.astype(jnp.float32))
     y = ensure_three_channels(y.astype(jnp.float32))
     fx = lpips_features(params, x)
@@ -201,4 +200,13 @@ def lpips_distance(params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jn
         diff = jnp.square(_unit_normalize(a) - _unit_normalize(b))
         w = params[f"lin{i}"]["w"].astype(jnp.float32)  # [C]
         total = total + jnp.mean(jnp.sum(diff * w, axis=-1), axis=(1, 2))
-    return jnp.mean(total)
+    return total
+
+
+def lpips_distance(params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+    """Scalar LPIPS distance, mean over batch (MONAI PerceptualLoss contract).
+
+    Inputs: NHWC, 1 or 3 channels, any real range (the caller decides
+    normalization; the reference feeds z-scored images as-is).
+    """
+    return jnp.mean(lpips_distance_per_sample(params, x, y))
