@@ -1,0 +1,206 @@
+"""Torch(MONAI) <-> JAX weight conversion for AutoencoderKL checkpoints.
+
+The reference saves ``autoencoder.state_dict()`` (MONAI AutoencoderKL keys,
+no wrapper prefix — ``autoencoder.py:169-171``), sometimes nested as
+``{"autoencoder_state_dict": ...}`` (``vae_loader.py:38-43``). This module
+maps those keys onto this framework's Flax parameter tree and back:
+
+* conv kernels: torch OIHW -> flax HWIO,
+* linear weights: torch [out, in] -> flax [in, out],
+* GroupNorm weight/bias -> GroupNormOp scale/bias.
+
+Key layout assumed for MONAI 1.5.1 (``uv.lock:859-861``): sequential
+``encoder.blocks.{n}`` / ``decoder.blocks.{n}`` built in construction order
+(conv_in, per-level res blocks [+attention], down/up-sample, mid block, final
+norm, conv_out), with MONAI ``Convolution`` wrappers adding a ``.conv``
+segment and ``SABlock`` attention using ``to_q/to_k/to_v/out_proj`` (a fused
+``qkv`` variant is also handled). Every tensor is shape-checked; a mismatch
+raises with the offending key so drift against a real MONAI checkpoint is
+loud, not silent.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import numpy as np
+
+__all__ = ["from_torch_state_dict", "to_torch_state_dict", "monai_layout"]
+
+
+def _levels(config: dict) -> tuple[list[int], list[int], list[bool]]:
+    channels = list(config["channels"])
+    nrb = config.get("num_res_blocks", 2)
+    num_res_blocks = [nrb] * len(channels) if isinstance(nrb, int) else list(nrb)
+    attn = config.get("attention_levels")
+    attention_levels = [False] * len(channels) if attn is None else list(attn)
+    return channels, num_res_blocks, attention_levels
+
+
+def monai_layout(config: dict) -> list[tuple[str, str, str]]:
+    """Ordered [(flax_path, monai_prefix, kind)] for the whole model.
+
+    kind: 'conv' (Convolution wrapper), 'rawconv' (bare nn.Conv), 'norm'
+    (GroupNorm), 'attn' (SpatialAttentionBlock).
+    flax_path uses '/'-joined module names matching models/autoencoder_kl.py.
+    """
+    channels, num_res_blocks, attention_levels = _levels(config)
+    n_levels = len(channels)
+    enc_attn = config.get("with_encoder_nonlocal_attn", True)
+    dec_attn = config.get("with_decoder_nonlocal_attn", True)
+    out: list[tuple[str, str, str]] = []
+
+    def res_entries(flax_base: str, monai_base: str, in_ch: int, out_ch: int):
+        out.append((f"{flax_base}/norm1", f"{monai_base}.norm1", "norm"))
+        out.append((f"{flax_base}/conv1", f"{monai_base}.conv1.conv", "conv"))
+        out.append((f"{flax_base}/norm2", f"{monai_base}.norm2", "norm"))
+        out.append((f"{flax_base}/conv2", f"{monai_base}.conv2.conv", "conv"))
+        if in_ch != out_ch:
+            out.append((f"{flax_base}/nin_shortcut", f"{monai_base}.nin_shortcut.conv", "conv"))
+
+    def attn_entries(flax_base: str, monai_base: str):
+        out.append((f"{flax_base}/norm", f"{monai_base}.norm", "norm"))
+        out.append((flax_base, f"{monai_base}.attn", "attn"))
+
+    # ----- encoder ------------------------------------------------------
+    n = 0
+    out.append(("encoder/conv_in", f"encoder.blocks.{n}.conv", "conv")); n += 1
+    in_ch = channels[0]
+    for level in range(n_levels):
+        out_ch = channels[level]
+        for block in range(num_res_blocks[level]):
+            res_entries(f"encoder/down_{level}_res_{block}", f"encoder.blocks.{n}", in_ch, out_ch)
+            n += 1
+            in_ch = out_ch
+            if attention_levels[level]:
+                attn_entries(f"encoder/down_{level}_attn_{block}", f"encoder.blocks.{n}")
+                n += 1
+        if level != n_levels - 1:
+            out.append(
+                (f"encoder/down_{level}_downsample/conv", f"encoder.blocks.{n}.conv.conv", "conv")
+            )
+            n += 1
+    if enc_attn:
+        res_entries("encoder/mid_res_1", f"encoder.blocks.{n}", channels[-1], channels[-1]); n += 1
+        attn_entries("encoder/mid_attn", f"encoder.blocks.{n}"); n += 1
+        res_entries("encoder/mid_res_2", f"encoder.blocks.{n}", channels[-1], channels[-1]); n += 1
+    out.append(("encoder/norm_out", f"encoder.blocks.{n}", "norm")); n += 1
+    out.append(("encoder/conv_out", f"encoder.blocks.{n}.conv", "conv")); n += 1
+
+    # ----- quant convs ----------------------------------------------------
+    out.append(("quant_conv_mu", "quant_conv_mu.conv", "conv"))
+    out.append(("quant_conv_log_sigma", "quant_conv_log_sigma.conv", "conv"))
+    out.append(("post_quant_conv", "post_quant_conv.conv", "conv"))
+
+    # ----- decoder --------------------------------------------------------
+    rev_channels = list(reversed(channels))
+    rev_blocks = list(reversed(num_res_blocks))
+    rev_attn = list(reversed(attention_levels))
+    n = 0
+    out.append(("decoder/conv_in", f"decoder.blocks.{n}.conv", "conv")); n += 1
+    if dec_attn:
+        res_entries("decoder/mid_res_1", f"decoder.blocks.{n}", rev_channels[0], rev_channels[0]); n += 1
+        attn_entries("decoder/mid_attn", f"decoder.blocks.{n}"); n += 1
+        res_entries("decoder/mid_res_2", f"decoder.blocks.{n}", rev_channels[0], rev_channels[0]); n += 1
+    in_ch = rev_channels[0]
+    for level in range(n_levels):
+        out_ch = rev_channels[level]
+        for block in range(rev_blocks[level]):
+            res_entries(f"decoder/up_{level}_res_{block}", f"decoder.blocks.{n}", in_ch, out_ch)
+            n += 1
+            in_ch = out_ch
+            if rev_attn[level]:
+                attn_entries(f"decoder/up_{level}_attn_{block}", f"decoder.blocks.{n}")
+                n += 1
+        if level != n_levels - 1:
+            out.append(
+                (f"decoder/up_{level}_upsample/conv", f"decoder.blocks.{n}.conv.conv", "conv")
+            )
+            n += 1
+    out.append(("decoder/norm_out", f"decoder.blocks.{n}", "norm")); n += 1
+    out.append(("decoder/conv_out", f"decoder.blocks.{n}.conv", "conv")); n += 1
+    return out
+
+
+def _set(tree: dict, path: str, leaf: str, value: np.ndarray) -> None:
+    node = tree
+    for part in path.split("/"):
+        node = node.setdefault(part, {})
+    node[leaf] = value
+
+
+def _get(tree: dict, path: str, leaf: str) -> np.ndarray:
+    node = tree
+    for part in path.split("/"):
+        node = node[part]
+    return np.asarray(node[leaf])
+
+
+def from_torch_state_dict(state_dict: dict[str, Any], config: dict) -> dict:
+    """MONAI state dict -> flax ``{"params": ...}`` variables tree."""
+    state_dict = state_dict.get("autoencoder_state_dict", state_dict)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+
+    def take(key: str) -> np.ndarray:
+        if key not in sd:
+            raise KeyError(
+                f"torch checkpoint missing key {key!r}; layout drift vs MONAI? "
+                f"(have e.g. {sorted(sd)[:5]})"
+            )
+        return sd.pop(key)
+
+    for flax_path, monai_prefix, kind in monai_layout(config):
+        if kind == "conv":
+            w = take(f"{monai_prefix}.weight")  # OIHW
+            _set(params, flax_path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+            _set(params, flax_path, "bias", take(f"{monai_prefix}.bias"))
+        elif kind == "norm":
+            _set(params, flax_path, "scale", take(f"{monai_prefix}.weight"))
+            _set(params, flax_path, "bias", take(f"{monai_prefix}.bias"))
+        elif kind == "attn":
+            if f"{monai_prefix}.qkv.weight" in sd:  # fused variant
+                w = take(f"{monai_prefix}.qkv.weight")
+                b = sd.pop(f"{monai_prefix}.qkv.bias", np.zeros(w.shape[0], w.dtype))
+                c = w.shape[0] // 3
+                for i, name in enumerate(("to_q", "to_k", "to_v")):
+                    _set(params, f"{flax_path}/{name}", "kernel", w[i * c:(i + 1) * c].T)
+                    _set(params, f"{flax_path}/{name}", "bias", b[i * c:(i + 1) * c])
+            else:
+                for name in ("to_q", "to_k", "to_v"):
+                    _set(params, f"{flax_path}/{name}", "kernel",
+                         take(f"{monai_prefix}.{name}.weight").T)
+                    _set(params, f"{flax_path}/{name}", "bias",
+                         take(f"{monai_prefix}.{name}.bias"))
+            _set(params, f"{flax_path}/proj_attn", "kernel",
+                 take(f"{monai_prefix}.out_proj.weight").T)
+            _set(params, f"{flax_path}/proj_attn", "bias",
+                 take(f"{monai_prefix}.out_proj.bias"))
+        else:  # pragma: no cover
+            raise AssertionError(kind)
+
+    if sd:
+        raise KeyError(f"unconsumed torch keys (layout drift?): {sorted(sd)[:10]}")
+    return {"params": params}
+
+
+def to_torch_state_dict(variables: dict, config: dict) -> dict[str, np.ndarray]:
+    """Flax variables -> MONAI-named numpy state dict (for export/parity)."""
+    params = variables.get("params", variables)
+    sd: dict[str, np.ndarray] = {}
+    for flax_path, monai_prefix, kind in monai_layout(config):
+        if kind == "conv":
+            sd[f"{monai_prefix}.weight"] = np.transpose(
+                _get(params, flax_path, "kernel"), (3, 2, 0, 1)
+            )
+            sd[f"{monai_prefix}.bias"] = _get(params, flax_path, "bias")
+        elif kind == "norm":
+            sd[f"{monai_prefix}.weight"] = _get(params, flax_path, "scale")
+            sd[f"{monai_prefix}.bias"] = _get(params, flax_path, "bias")
+        else:  # attn
+            for name in ("to_q", "to_k", "to_v"):
+                sd[f"{monai_prefix}.{name}.weight"] = _get(params, f"{flax_path}/{name}", "kernel").T
+                sd[f"{monai_prefix}.{name}.bias"] = _get(params, f"{flax_path}/{name}", "bias")
+            sd[f"{monai_prefix}.out_proj.weight"] = _get(params, f"{flax_path}/proj_attn", "kernel").T
+            sd[f"{monai_prefix}.out_proj.bias"] = _get(params, f"{flax_path}/proj_attn", "bias")
+    return sd

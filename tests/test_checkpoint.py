@@ -1,0 +1,125 @@
+"""Checkpoint tests: torch converter round-trip + orbax best/last semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pti_ldm_vae_tpu.checkpoint import (
+    CheckpointManager,
+    from_torch_state_dict,
+    load_pytree,
+    save_pytree,
+    to_torch_state_dict,
+)
+from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+
+CFG = dict(
+    spatial_dims=2, in_channels=1, out_channels=1, latent_channels=3,
+    channels=[8, 16], num_res_blocks=1, norm_num_groups=4, norm_eps=1e-6,
+    attention_levels=[False, True],
+    with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+)
+
+
+def _init_variables():
+    model = AutoencoderKL(
+        **{**CFG, "channels": tuple(CFG["channels"]),
+           "attention_levels": tuple(CFG["attention_levels"])}
+    )
+    variables = model.init(jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1))
+    return model, variables
+
+
+def test_torch_roundtrip_exact():
+    """flax -> MONAI-named torch dict -> flax reproduces every tensor and the
+    converter consumes every key (no silent drops)."""
+    model, variables = _init_variables()
+    sd = to_torch_state_dict(variables, CFG)
+    # all MONAI keys 2D/4D as expected
+    assert any(k.startswith("encoder.blocks.0.conv.") for k in sd)
+    assert any(".attn.to_q." in k for k in sd)
+    back = from_torch_state_dict(sd, CFG)
+    flat_a = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_leaves_with_path(variables["params"])
+    }
+    flat_b = {
+        jax.tree_util.keystr(p): leaf
+        for p, leaf in jax.tree_util.tree_leaves_with_path(back["params"])
+    }
+    assert set(flat_a) == set(flat_b)
+    for key in flat_a:
+        np.testing.assert_array_equal(np.asarray(flat_a[key]), np.asarray(flat_b[key]))
+
+
+def test_torch_roundtrip_forward_identical():
+    model, variables = _init_variables()
+    back = from_torch_state_dict(to_torch_state_dict(variables, CFG), CFG)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(1, 16, 16, 1)).astype(np.float32))
+    a = model.apply(variables, x, method=model.encode_deterministic)
+    b = model.apply(back, x, method=model.encode_deterministic)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_converter_rejects_extra_and_missing_keys():
+    model, variables = _init_variables()
+    sd = to_torch_state_dict(variables, CFG)
+    sd_extra = dict(sd)
+    sd_extra["bogus.key"] = np.zeros(3)
+    with pytest.raises(KeyError):
+        from_torch_state_dict(sd_extra, CFG)
+    sd_missing = dict(sd)
+    sd_missing.pop("encoder.blocks.0.conv.weight")
+    with pytest.raises(KeyError):
+        from_torch_state_dict(sd_missing, CFG)
+
+
+def test_converter_accepts_nested_checkpoint():
+    model, variables = _init_variables()
+    sd = to_torch_state_dict(variables, CFG)
+    nested = {"autoencoder_state_dict": sd, "epoch": 3}
+    # only the state dict key is consumed
+    back = from_torch_state_dict({"autoencoder_state_dict": sd}, CFG)
+    assert "params" in back
+    del nested
+
+
+def test_orbax_roundtrip(tmp_path):
+    tree = {"a": jnp.arange(6, dtype=jnp.float32).reshape(2, 3), "b": {"c": jnp.ones((4,))}}
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, tree)
+    back = load_pytree(path)
+    np.testing.assert_array_equal(np.asarray(back["a"]), np.asarray(tree["a"]))
+    np.testing.assert_array_equal(np.asarray(back["b"]["c"]), np.asarray(tree["b"]["c"]))
+
+
+def test_checkpoint_manager_best_last(tmp_path):
+    from pti_ldm_vae_tpu.train.state import create_train_state
+
+    model, variables = _init_variables()
+    state = create_train_state(variables, lr=1e-4)
+    mgr = CheckpointManager(str(tmp_path / "weights"))
+    mgr.save_last(state.params_g)
+
+    best = mgr.save_best(epoch=2, state=state, val_loss=0.5, best_val_loss=100.0, total_step=10)
+    assert best == 0.5
+    # Worse value does not save.
+    best = mgr.save_best(epoch=3, state=state, val_loss=0.9, best_val_loss=best, total_step=20)
+    assert best == 0.5
+    # Better value replaces old files.
+    best = mgr.save_best(epoch=4, state=state, val_loss=0.3, best_val_loss=best, total_step=30)
+    assert best == 0.3
+    import os
+
+    names = os.listdir(tmp_path / "weights")
+    assert "checkpoint_epoch4" in names and "checkpoint_epoch2" not in names
+
+    restored = mgr.restore(create_train_state(variables, lr=1e-4))
+    assert restored is not None
+    new_state, meta = restored
+    assert meta["epoch"] == 4 and meta["best_val_loss"] == pytest.approx(0.3)
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(new_state.params_g)[0]),
+        np.asarray(jax.tree.leaves(state.params_g)[0]),
+    )
