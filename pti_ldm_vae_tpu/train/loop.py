@@ -1,0 +1,370 @@
+"""VAE training orchestration — the ``train_vae`` workload.
+
+Behavioral equivalent of the reference driver (``vae_scripts/train_vae.py``,
+call stack in SURVEY.md §3.1): config -> loaders -> models/optimizers ->
+epoch loop with per-epoch validation, last/best checkpointing, metric logging,
+validation triplet dumps, resume. TPU-first mechanics:
+
+* one jitted train step per GAN phase (warm-up vs active — the reference's
+  ``epoch > 5`` gate, ``train_vae.py:399,449``) with donated state,
+* batch sharded over the mesh ``data`` axis (DDP equivalent); LR already
+  scaled by world size in ``create_train_state``,
+* bf16 compute / f32 params by default on TPU (override with
+  ``mixed_precision`` config key or parity runs),
+* host loader prefetch overlaps IO with device compute.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..checkpoint.orbax_io import CheckpointManager
+from ..config import filter_comment_keys, resolve_bool
+from ..data.factory import create_vae_dataloaders
+from ..data.io import write_tif
+from ..losses.ar_vae import make_ar_vae_spec
+from ..losses.composite import compute_total_loss
+from ..models.autoencoder_kl import autoencoder_from_config
+from ..models.discriminator import PatchDiscriminator
+from ..models.lpips import load_lpips_params
+from ..parallel.mesh import make_mesh, shard_batch
+from ..utils.determinism import set_determinism
+from ..utils.logging import MetricLogger, init_wandb_config
+from ..utils.visualization import normalize_batch_for_display
+from .state import create_train_state
+from .steps import LossConfig, make_eval_step, make_train_step
+
+__all__ = ["VAETrainer", "resolve_ar_settings"]
+
+
+def resolve_ar_settings(cfg: dict[str, Any]) -> dict[str, Any]:
+    """AR-VAE flags from both config blocks (reference ``train_vae.py:776-792``)."""
+    reg = cfg.get("regularized_attributes") or {}
+    train = cfg.get("autoencoder_train", {})
+    enabled = resolve_bool(train.get("ar_vae_enabled", False)) or resolve_bool(
+        reg.get("enabled", False)
+    )
+    raw_gamma = train.get("ar_vae_weight", reg.get("gamma", 0.0))
+    if isinstance(raw_gamma, str):
+        try:
+            gamma = float(raw_gamma)
+        except ValueError:
+            gamma = float(reg.get("gamma", 0.0))
+    else:
+        gamma = float(raw_gamma)
+    return {
+        "enabled": enabled,
+        "gamma": gamma,
+        "pairwise": reg.get("pairwise", "all"),
+        "subset_pairs": reg.get("subset_pairs"),
+        "block": reg,
+    }
+
+
+class VAETrainer:
+    def __init__(
+        self,
+        cfg: dict[str, Any],
+        *,
+        seed: int = 42,
+        num_workers: int = 4,
+        cache_rate: float = 0.0,
+        subset_size: int | None = None,
+        resume: bool | None = None,
+        mixed_precision: bool | None = None,
+        log_every: int = 1,
+        use_wandb: bool | None = None,
+    ):
+        self.cfg = cfg
+        self.seed = seed
+        self.rank = jax.process_index()
+
+        train_cfg = cfg["autoencoder_train"]
+        self.batch_size = int(train_cfg["batch_size"])
+        # Data-parallel degree: the largest device count the global batch
+        # shards over evenly (1 chip -> 1; a full slice with batch 8 -> 8).
+        # This is the reference's ``world_size`` (``train_vae.py:301-304``).
+        import math
+
+        dp = math.gcd(self.batch_size, jax.device_count())
+        self.mesh = make_mesh(jax.devices()[:dp], data=dp)
+        self.world = dp
+        self.patch_size = tuple(train_cfg["patch_size"])
+        self.max_epochs = int(train_cfg["max_epochs"])
+        self.val_interval = int(train_cfg.get("val_interval", 1))
+        self.adv_enabled = resolve_bool(train_cfg.get("adv_enabled", True))
+        self.run_dir = Path(cfg["run_dir"])
+        self.model_dir = self.run_dir / "trained_weights"
+        self.resume = resolve_bool(cfg.get("resume_ckpt", False)) if resume is None else resume
+        self.log_every = log_every
+
+        ar = resolve_ar_settings(cfg)
+        self.ar = ar
+
+        if mixed_precision is None:
+            mixed_precision = jax.default_backend() == "tpu"
+        compute_dtype = jnp.bfloat16 if mixed_precision else jnp.float32
+
+        # Overwrite protection (reference ``train_vae.py:794-803``).
+        if self.rank == 0:
+            if self.run_dir.exists() and not self.resume and any(self.run_dir.iterdir()):
+                raise ValueError(
+                    f"Run directory already exists: {self.run_dir}\n"
+                    "Change 'run_dir' in the config or set 'resume_ckpt: true'."
+                )
+            self.model_dir.mkdir(parents=True, exist_ok=True)
+            (self.run_dir / "splits").mkdir(parents=True, exist_ok=True)
+
+        self.root_key = set_determinism(seed)
+
+        # ---- data -------------------------------------------------------
+        self.train_loader, self.val_loader, train_paths, val_paths = create_vae_dataloaders(
+            cfg["data_base_dir"],
+            batch_size=self.batch_size,
+            patch_size=self.patch_size,
+            rank=self.rank,
+            data_source=cfg.get("data_source", "edente"),
+            train_split=cfg.get("train_split", 0.9),
+            num_workers=num_workers,
+            seed=seed,
+            subset_size=subset_size,
+            val_dir=cfg.get("val_dir"),
+            cache_rate=cache_rate,
+            world_size=jax.process_count(),
+            ar_vae_enabled=ar["enabled"],
+            regularized_attributes=ar["block"] or None,
+        )
+        if self.rank == 0:
+            split_payload = {
+                "seed": seed,
+                "train_split": cfg.get("train_split", 0.9),
+                "subset_size": subset_size,
+                "val_dir": cfg.get("val_dir"),
+                "train_files": list(train_paths),
+                "val_files": list(val_paths),
+            }
+            with open(self.run_dir / "splits" / "vae_split.json", "w", encoding="utf-8") as fh:
+                json.dump(split_payload, fh, indent=2)
+
+        # ---- models -------------------------------------------------------
+        self.model = autoencoder_from_config(
+            cfg["autoencoder_def"], compute_dtype=compute_dtype
+        )
+        init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
+        dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)
+        params_g = jax.jit(self.model.init)(init_key, dummy, jax.random.key(0))
+
+        self.disc = None
+        params_d = None
+        if self.adv_enabled:
+            self.disc = PatchDiscriminator(
+                spatial_dims=cfg.get("spatial_dims", 2),
+                num_layers_d=3,
+                channels=32,
+                in_channels=1,
+                out_channels=1,
+                compute_dtype=compute_dtype,
+            )
+            params_d = jax.jit(self.disc.init)(disc_key, dummy)
+
+        self.state = create_train_state(
+            params_g,
+            lr=float(train_cfg["lr"]),
+            world_size=self.world,
+            params_d=params_d,
+        )
+
+        # ---- losses -------------------------------------------------------
+        ar_spec = None
+        if ar["enabled"]:
+            mapping = filter_comment_keys(ar["block"].get("attribute_latent_mapping", {}))
+            ar_spec = make_ar_vae_spec(
+                mapping,
+                pairwise_mode=ar["pairwise"],
+                subset_pairs=ar["subset_pairs"],
+                delta_global=ar["block"].get("delta_global"),
+                latent_dim=cfg["autoencoder_def"]["latent_channels"],
+            )
+        self.lcfg = LossConfig(
+            recon_loss=train_cfg.get("recon_loss", "l1"),
+            kl_weight=float(train_cfg["kl_weight"]),
+            perceptual_weight=float(train_cfg["perceptual_weight"]),
+            adv_weight=float(train_cfg.get("adv_weight", 0.5)),
+            ar_gamma=ar["gamma"],
+            ar_vae_enabled=ar["enabled"],
+            ar_spec=ar_spec,
+            kl_mode=cfg.get("kl_mode", "reference"),
+        )
+        self.lpips_params = load_lpips_params()
+
+        # ---- steps (one per GAN phase) -----------------------------------
+        self._train_steps = {
+            False: make_train_step(self.model, self.disc, self.lcfg, adv_active=False),
+        }
+        self._eval_steps = {
+            False: make_eval_step(self.model, self.disc, self.lcfg, adv_active=False),
+        }
+        if self.adv_enabled:
+            self._train_steps[True] = make_train_step(
+                self.model, self.disc, self.lcfg, adv_active=True
+            )
+            self._eval_steps[True] = make_eval_step(
+                self.model, self.disc, self.lcfg, adv_active=True
+            )
+
+        # ---- bookkeeping ---------------------------------------------------
+        self.ckpt = CheckpointManager(str(self.model_dir))
+        self.start_epoch = 0
+        self.best_val_loss = 100.0
+        self.total_step = 0
+        if self.resume:
+            restored = self.ckpt.restore(self.state)
+            if restored is None:
+                raise FileNotFoundError(f"No checkpoint to resume in {self.model_dir}")
+            self.state, meta = restored
+            self.start_epoch = meta["epoch"] + 1
+            self.best_val_loss = meta["best_val_loss"]
+            self.total_step = meta["total_step"]
+
+        wandb_cfg = cfg.get("wandb") or {}
+        if use_wandb is False:
+            wandb_cfg = {**wandb_cfg, "enabled": False}
+        self.logger = MetricLogger(
+            str(self.run_dir), rank=self.rank, wandb_cfg=wandb_cfg,
+            run_config=init_wandb_config(cfg),
+        )
+
+    # -- helpers --------------------------------------------------------------
+    def _device_batch(self, batch):
+        arrays = {"image": batch["image"], "mask": batch["mask"]}
+        placed = shard_batch(self.mesh, arrays)
+        attrs = {
+            k: jnp.asarray(v) for k, v in batch.get("attributes", {}).items()
+        }
+        return placed["image"], placed["mask"], attrs
+
+    def _adv_active(self, epoch: int) -> bool:
+        return bool(self.adv_enabled and epoch > 5)
+
+    # -- epochs -----------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> None:
+        self.train_loader.set_epoch(epoch)
+        step_fn = self._train_steps[self._adv_active(epoch)]
+        for step, batch in enumerate(self.train_loader):
+            images, mask, attrs = self._device_batch(batch)
+            self.run_key, step_key = jax.random.split(self.run_key)
+            self.state, metrics = step_fn(
+                self.state, images, mask, attrs, self.lpips_params, step_key
+            )
+            self.total_step += 1
+            if self.rank == 0 and (step % self.log_every == 0):
+                payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
+                payload["train/step"] = self.total_step
+                self.logger.log(payload, step=self.total_step)
+            if step == 0 and self.rank == 0:
+                # KL-explosion debug stats (reference ``train_vae.py:432-442``).
+                print(
+                    f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics['debug/z_mu_mean']):.4f} | "
+                    f"z_sigma mean={float(metrics['debug/z_sigma_mean']):.4f} | "
+                    f"kl_loss={float(metrics['train/kl_loss']):.4f}"
+                )
+
+    def validate(self, epoch: int) -> float:
+        """Returns epoch-mean reconstruction loss (the best-model criterion,
+        reference ``validate`` -> ``val_recon_epoch_loss``)."""
+        eval_fn = self._eval_steps[self._adv_active(epoch)]
+        sums: dict[str, float] = {}
+        n_batches = 0
+        start_epoch_to_save, save_every = 10, 5
+        do_save_images = (
+            self.rank == 0 and epoch >= start_epoch_to_save and epoch % save_every == 0
+        )
+        if do_save_images:
+            epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"
+            for sub in ("originale", "reconstruction", "diff"):
+                (epoch_dir / sub).mkdir(parents=True, exist_ok=True)
+
+        for step, batch in enumerate(self.val_loader):
+            images, mask, attrs = self._device_batch(batch)
+            self.run_key, step_key = jax.random.split(self.run_key)
+            metrics, recon = eval_fn(
+                self.state, images, mask, attrs, self.lpips_params, step_key
+            )
+            for key, val in metrics.items():
+                sums[key] = sums.get(key, 0.0) + float(val)
+            n_batches += 1
+
+            if do_save_images:
+                img = np.asarray(images[0, :, :, 0])
+                rec = np.asarray(recon[0, :, :, 0])
+                diff = np.abs(img - rec)
+                # rot90 k=3 display convention (reference ``train_vae.py:616-618``)
+                epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"
+                write_tif(str(epoch_dir / "originale" / f"step{step:03}.tif"), np.rot90(img, k=3))
+                write_tif(
+                    str(epoch_dir / "reconstruction" / f"step{step:03}.tif"), np.rot90(rec, k=3)
+                )
+                write_tif(str(epoch_dir / "diff" / f"step{step:03}.tif"), np.rot90(diff, k=3))
+
+        means = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        val_total = compute_total_loss(
+            means.get("recon_loss", 0.0),
+            means.get("kl_loss", 0.0),
+            means.get("perceptual_loss", 0.0),
+            means.get("adv_gen_loss", 0.0),
+            means.get("ar_loss", 0.0),
+            kl_weight=self.lcfg.kl_weight,
+            perceptual_weight=self.lcfg.perceptual_weight,
+            adv_weight=self.lcfg.adv_weight,
+            ar_gamma=self.lcfg.ar_gamma,
+            ar_vae_enabled=self.lcfg.ar_vae_enabled,
+        )
+        if self.rank == 0:
+            payload = {
+                "val/recon_loss": means.get("recon_loss", 0.0),
+                "val/kl_loss": means.get("kl_loss", 0.0),
+                "val/perceptual_loss": means.get("perceptual_loss", 0.0),
+                "val/adv_gen_loss": self.lcfg.adv_weight * means.get("adv_gen_loss", 0.0)
+                if self.adv_enabled else 0.0,
+                "val/adv_disc_loss": self.lcfg.adv_weight * means.get("adv_disc_loss", 0.0)
+                if self.adv_enabled else 0.0,
+                "val/loss_total": float(val_total),
+                "epoch": epoch,
+            }
+            if self.lcfg.ar_vae_enabled:
+                payload["val/ar_loss_total"] = means.get("ar_loss", 0.0)
+                for key, val in means.items():
+                    if key.startswith("ar_loss_"):
+                        payload[f"val/{key}"] = val
+            self.logger.log(payload)
+        return means.get("recon_loss", 0.0)
+
+    # -- main loop -------------------------------------------------------------
+    def train(self) -> dict[str, Any]:
+        for epoch in range(self.start_epoch, self.max_epochs):
+            start_time = time.time()
+            self.train_epoch(epoch)
+            if epoch % self.val_interval == 0:
+                val_loss = self.validate(epoch)
+                if self.rank == 0:
+                    elapsed = time.time() - start_time
+                    print(f"Epoch {epoch} val_loss: {val_loss:.4f} | Time: {elapsed:.1f}s")
+                    self.logger.log({"time_per_epoch": elapsed, "epoch": epoch})
+                    self.ckpt.save_last(self.state.params_g, self.state.params_d or None)
+                    self.best_val_loss = self.ckpt.save_best(
+                        epoch,
+                        state=self.state,
+                        val_loss=val_loss,
+                        best_val_loss=self.best_val_loss,
+                        total_step=self.total_step,
+                    )
+        self.logger.finish()
+        return {"best_val_loss": self.best_val_loss, "total_step": self.total_step}
