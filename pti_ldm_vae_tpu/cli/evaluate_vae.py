@@ -1,0 +1,115 @@
+"""VAE evaluation CLI: stochastic forward + full metric suite -> metrics.json.
+
+Workload parity with ``vae_scripts/evaluate_vae.py`` (SURVEY.md §3.3):
+per batch — stochastic forward, recon/KL/perceptual losses; per sample —
+PSNR/SSIM/MSE/MAE on [0,1]-clamped images; aggregate mean/std written to
+``metrics.json``. Note: the reference composes ``loss_total`` without
+``kl_weight`` here (KL at weight 1.0, ``evaluate_vae.py:100`` — documented
+inconsistency, SURVEY.md §2.4.6); reproduced for parity.
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import json
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..losses.kl import kl_from_forward
+from ..losses.composite import reconstruction_loss
+from ..models.lpips import load_lpips_params, lpips_distance
+from ..utils.cli_common import (
+    add_shared_io_args,
+    build_inference_dataloader,
+    init_device_and_seed,
+    load_config_and_model,
+    resolve_eval_output_dir,
+    serialize_args,
+)
+from ..utils.eval_metrics import compute_mae, compute_mse, compute_psnr, compute_ssim
+
+__all__ = ["main", "evaluate"]
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Evaluate a trained VAE on a test set (TPU).")
+    add_shared_io_args(
+        parser, output_help="Output directory for metrics (default: evals/<config_name>/)"
+    )
+    return parser.parse_args(argv)
+
+
+def evaluate(model, variables, dataloader, *, recon_kind: str,
+             perceptual_weight: float, lpips_params, seed: int = 42) -> dict[str, float]:
+    @jax.jit
+    def eval_batch(params, images, rng):
+        recon, z_mu, z_sigma = model.apply(params, images, rng)
+        recon_c = jnp.clip(recon, 0.0, 1.0)
+        images_c = jnp.clip(images, 0.0, 1.0)
+        intensity = reconstruction_loss(recon, images, recon_kind)
+        kl = kl_from_forward(z_mu, z_sigma, mode="reference")
+        perc = lpips_distance(lpips_params, recon, images)
+        total = intensity + kl + perceptual_weight * perc  # no kl_weight (parity)
+        return {
+            "recon_loss": intensity,
+            "kl_loss": kl,
+            "perceptual_loss": perc,
+            "loss_total": total,
+            "psnr": compute_psnr(recon_c, images_c),
+            "ssim": compute_ssim(recon_c, images_c),
+            "mse": compute_mse(recon_c, images_c),
+            "mae": compute_mae(recon_c, images_c),
+        }
+
+    metrics: dict[str, list[float]] = {k: [] for k in
+        ("recon_loss", "kl_loss", "perceptual_loss", "psnr", "ssim", "loss_total", "mse", "mae")}
+    key = jax.random.key(seed)
+    for batch in dataloader:
+        key, sub = jax.random.split(key)
+        out = eval_batch(variables, jnp.asarray(batch["image"]), sub)
+        valid = int(batch["mask"].sum())
+        for name in ("recon_loss", "kl_loss", "perceptual_loss", "loss_total"):
+            metrics[name].append(float(out[name]))
+        for name in ("psnr", "ssim", "mse", "mae"):
+            metrics[name].extend(np.asarray(out[name])[:valid].tolist())
+
+    summary: dict[str, float] = {}
+    for key_name, values in metrics.items():
+        if values:
+            summary[f"{key_name}_mean"] = float(np.mean(values))
+            summary[f"{key_name}_std"] = float(np.std(values))
+    return summary
+
+
+def main(argv=None) -> None:
+    args = parse_args(argv)
+    init_device_and_seed(args.seed)
+    config, (model, variables) = load_config_and_model(args.config_file, args.checkpoint)
+    output_dir = resolve_eval_output_dir(args.config_file, args.output_dir)
+    dataloader, image_paths = build_inference_dataloader(
+        input_dir=args.input_dir, config=config, batch_size=args.batch_size,
+        num_samples=args.num_samples, num_workers=args.num_workers,
+    )
+    print(f"[INFO] Found {len(image_paths)} images in {args.input_dir}")
+    summary = evaluate(
+        model, variables, dataloader,
+        recon_kind=config.autoencoder_train.get("recon_loss", "l1"),
+        perceptual_weight=config.autoencoder_train["perceptual_weight"],
+        lpips_params=load_lpips_params(),
+        seed=args.seed,
+    )
+    payload = {"args": serialize_args(args), "metrics": summary, "files": image_paths}
+    with open(Path(output_dir) / "metrics.json", "w", encoding="utf-8") as fh:
+        json.dump(payload, fh, indent=2)
+    print("\n=== Evaluation Summary ===")
+    for key_name, value in summary.items():
+        print(f"{key_name}: {value:.4f}")
+    print(f"\nMetrics saved to {Path(output_dir) / 'metrics.json'}")
+
+
+if __name__ == "__main__":
+    main()

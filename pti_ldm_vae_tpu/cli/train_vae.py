@@ -1,0 +1,65 @@
+"""VAE training CLI (workload parity with ``vae_scripts/train_vae.py``).
+
+Single entry point for single-chip and multi-chip training: under JAX, one
+process per host drives all local devices, so there is no torchrun-style
+launcher — the mesh/data-sharding inside ``VAETrainer`` is the DDP
+equivalent (SURVEY.md §5.8).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from ..config import load_config
+from ..train.loop import VAETrainer
+
+__all__ = ["main"]
+
+
+def parse_args(argv=None) -> argparse.Namespace:
+    parser = argparse.ArgumentParser(description="Train a VAE (TPU)")
+    parser.add_argument("-c", "--config-file", required=True, help="Config json file")
+    parser.add_argument("-g", "--gpus", type=int, default=1,
+                        help="Accepted for reference CLI compatibility; device "
+                             "count is discovered from the JAX runtime")
+    parser.add_argument("--batch-size", type=int, default=None, help="Override batch size")
+    parser.add_argument("--max-epochs", type=int, default=None, help="Override max epochs")
+    parser.add_argument("--lr", type=float, default=None, help="Override learning rate")
+    parser.add_argument("--num-workers", type=int, default=4)
+    parser.add_argument("--cache-rate", type=float, default=0.0,
+                        help="Fraction of training data cached in RAM")
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--subset-size", type=int, default=None,
+                        help="Use only the first N images (smoke runs)")
+    parser.add_argument("--no-wandb", action="store_true")
+    parser.add_argument("--f32", action="store_true",
+                        help="Disable bf16 compute (parity runs)")
+    return parser.parse_args(argv)
+
+
+def main(argv=None) -> dict:
+    args = parse_args(argv)
+    cfg = load_config(args.config_file)
+
+    # CLI overrides (reference ``train_vae.py:113-119``).
+    if args.batch_size:
+        cfg["autoencoder_train"]["batch_size"] = args.batch_size
+    if args.max_epochs:
+        cfg["autoencoder_train"]["max_epochs"] = args.max_epochs
+    if args.lr:
+        cfg["autoencoder_train"]["lr"] = args.lr
+
+    trainer = VAETrainer(
+        cfg,
+        seed=args.seed,
+        num_workers=args.num_workers,
+        cache_rate=args.cache_rate,
+        subset_size=args.subset_size,
+        mixed_precision=False if args.f32 else None,
+        use_wandb=False if args.no_wandb else None,
+    )
+    return trainer.train()
+
+
+if __name__ == "__main__":
+    main()
