@@ -25,6 +25,7 @@ __all__ = [
     "create_vae_inference_dataloader",
     "create_regression_dataloaders",
     "create_regression_eval_dataloader",
+    "create_regression_inference_dataloader",
 ]
 
 
@@ -155,7 +156,9 @@ def create_regression_dataloaders(
     num_workers: int = 4,
     seed: int | None = 42,
     subset_size: int | None = None,
+    val_dir: str | None = None,
     cache_rate: float = 0.0,
+    normalize_attributes: dict | None = None,
 ) -> tuple[RegressionLoader, RegressionLoader, list[str], list[str]]:
     """Images + target vectors for latent regression (reference
     ``dataloaders.py:596-722``)."""
@@ -164,10 +167,14 @@ def create_regression_dataloaders(
         paths = paths[:subset_size]
     sources = select_attribute_sources(attributes_path, data_source)
     mapping = {t: {} for t in targets}
-    attrs = attributes_for_paths(paths, sources, mapping, None)
+    attrs = attributes_for_paths(paths, sources, mapping, normalize_attributes)
+    val_override = list_tif_paths(val_dir, data_source) if val_dir is not None else None
     train_paths, val_paths, train_attrs, val_attrs = split_dataset(
-        paths, train_split=train_split, seed=seed, attributes=attrs
+        paths, train_split=train_split, seed=seed, attributes=attrs,
+        val_paths_override=val_override,
     )
+    if val_override is not None:
+        val_attrs = attributes_for_paths(val_paths, sources, mapping, normalize_attributes)
     train_loader = RegressionLoader(
         train_paths, patch_size, batch_size,
         targets_matrix=_targets_matrix(train_attrs, targets),
@@ -193,6 +200,7 @@ def create_regression_eval_dataloader(
     data_source: str = "edente",
     num_samples: int | None = None,
     num_workers: int = 4,
+    normalize_attributes: dict | None = None,
 ) -> tuple[RegressionLoader, list[str]]:
     """Evaluation loader over the full directory, no split (reference
     ``dataloaders.py:725-778``)."""
@@ -201,10 +209,23 @@ def create_regression_eval_dataloader(
         paths = paths[:num_samples]
     sources = select_attribute_sources(attributes_path, data_source)
     mapping = {t: {} for t in targets}
-    attrs = attributes_for_paths(paths, sources, mapping, None)
+    attrs = attributes_for_paths(paths, sources, mapping, normalize_attributes)
     loader = RegressionLoader(
         paths, patch_size, batch_size,
         targets_matrix=_targets_matrix(attrs, targets),
         shuffle=False, num_workers=num_workers,
     )
     return loader, paths
+
+
+def create_regression_inference_dataloader(
+    input_dir: str,
+    patch_size: tuple[int, int],
+    batch_size: int,
+    num_samples: int | None = None,
+    num_workers: int = 4,
+) -> tuple[ShardedDataLoader, list[str]]:
+    """Images only, no targets (reference ``dataloaders.py:781-795``)."""
+    return create_vae_inference_dataloader(
+        input_dir, patch_size, batch_size, num_samples=num_samples, num_workers=num_workers
+    )
