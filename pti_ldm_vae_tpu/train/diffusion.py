@@ -1,0 +1,195 @@
+"""Latent diffusion: noise schedule, DDIM sampling (``lax.scan``), train step, PTI.
+
+The reference keeps its diffusion path dormant (SURVEY.md §0) but the north
+star includes the LDM DDIM loop and pivotal-tuning inversion. TPU-first
+design:
+
+* ``NoiseSchedule`` — DDPM linear-beta schedule (MONAI scheduler defaults:
+  1000 train steps, beta 1e-4 .. 2e-2) as precomputed constant arrays,
+* ``ddim_sample`` — the entire deterministic (eta=0) DDIM loop is one
+  ``lax.scan`` over timesteps inside a single jitted program: zero host
+  round-trips per step,
+* ``make_diffusion_train_step`` — epsilon-prediction MSE on VAE latents with
+  optional cross-attention conditioning, one jitted program,
+* ``pivotal_tuning_inversion`` — stage 1: optimize a per-image latent to
+  reconstruct the target through the frozen decoder; stage 2: fine-tune the
+  decoder around the pivot latent. Both stages are jitted ``lax.scan`` loops.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+__all__ = [
+    "NoiseSchedule",
+    "add_noise",
+    "ddim_sample",
+    "make_diffusion_train_step",
+    "pivotal_tuning_inversion",
+]
+
+
+class NoiseSchedule(NamedTuple):
+    betas: jnp.ndarray           # [T]
+    alphas_cumprod: jnp.ndarray  # [T]
+    num_train_timesteps: int
+
+    @classmethod
+    def linear_beta(
+        cls, num_train_timesteps: int = 1000,
+        beta_start: float = 1e-4, beta_end: float = 2e-2,
+    ) -> "NoiseSchedule":
+        betas = jnp.linspace(beta_start, beta_end, num_train_timesteps, dtype=jnp.float32)
+        alphas_cumprod = jnp.cumprod(1.0 - betas)
+        return cls(betas, alphas_cumprod, num_train_timesteps)
+
+
+def add_noise(schedule: NoiseSchedule, latents: jnp.ndarray, noise: jnp.ndarray,
+              timesteps: jnp.ndarray) -> jnp.ndarray:
+    """q(x_t | x_0): sqrt(a_t) x_0 + sqrt(1-a_t) eps."""
+    a = schedule.alphas_cumprod[timesteps]
+    shape = (-1,) + (1,) * (latents.ndim - 1)
+    return jnp.sqrt(a).reshape(shape) * latents + jnp.sqrt(1.0 - a).reshape(shape) * noise
+
+
+def ddim_sample(
+    unet_apply: Callable,
+    params: Any,
+    schedule: NoiseSchedule,
+    shape: tuple[int, ...],
+    rng: jax.Array,
+    *,
+    num_inference_steps: int = 50,
+    context: jnp.ndarray | None = None,
+    eta: float = 0.0,
+) -> jnp.ndarray:
+    """Deterministic DDIM sampling, fully on-device via ``lax.scan``.
+
+    ``unet_apply(params, x, timesteps, context) -> eps_pred``.
+    """
+    step_ratio = schedule.num_train_timesteps // num_inference_steps
+    timesteps = (jnp.arange(num_inference_steps) * step_ratio)[::-1]  # descending
+    rng, init_rng = jax.random.split(rng)
+    x = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+
+    def body(carry, step_idx):
+        x, rng = carry
+        t = timesteps[step_idx]
+        t_prev = t - step_ratio
+        a_t = schedule.alphas_cumprod[t]
+        a_prev = jnp.where(t_prev >= 0, schedule.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+
+        t_batch = jnp.full((shape[0],), t, dtype=jnp.int32)
+        eps = unet_apply(params, x, t_batch, context)
+
+        x0_pred = (x - jnp.sqrt(1.0 - a_t) * eps) / jnp.sqrt(a_t)
+        sigma = eta * jnp.sqrt((1.0 - a_prev) / (1.0 - a_t)) * jnp.sqrt(1.0 - a_t / a_prev)
+        dir_xt = jnp.sqrt(jnp.maximum(1.0 - a_prev - sigma**2, 0.0)) * eps
+        rng, noise_rng = jax.random.split(rng)
+        noise = jax.random.normal(noise_rng, shape, dtype=jnp.float32)
+        x_next = jnp.sqrt(a_prev) * x0_pred + dir_xt + sigma * noise
+        return (x_next, rng), None
+
+    (x, _), _ = jax.lax.scan(body, (x, rng), jnp.arange(num_inference_steps))
+    return x
+
+
+def make_diffusion_train_step(
+    unet,
+    schedule: NoiseSchedule,
+    tx: optax.GradientTransformation,
+    *,
+    projector=None,
+):
+    """Jitted epsilon-MSE train step over (params, opt_state).
+
+    ``params`` is ``{"unet": ..., "projector": ...?}``; conditioning latents
+    [B, h, w, C] are projected to context tokens when a projector is given
+    (reference conditioning recipe, ``models/README.md:113-126``).
+    """
+
+    def loss_fn(params, latents, cond_latents, rng):
+        rng_t, rng_noise = jax.random.split(rng)
+        batch = latents.shape[0]
+        timesteps = jax.random.randint(rng_t, (batch,), 0, schedule.num_train_timesteps)
+        noise = jax.random.normal(rng_noise, latents.shape, dtype=jnp.float32)
+        noisy = add_noise(schedule, latents, noise, timesteps)
+        context = None
+        if projector is not None and cond_latents is not None:
+            b, h, w, c = cond_latents.shape
+            tokens = cond_latents.reshape(b, h * w, c)
+            context = projector.apply(params["projector"], tokens)
+        eps_pred = unet.apply(params["unet"], noisy, timesteps, context)
+        return jnp.mean(jnp.square(eps_pred - noise))
+
+    @jax.jit
+    def step(params, opt_state, latents, cond_latents, rng):
+        loss, grads = jax.value_and_grad(loss_fn)(params, latents, cond_latents, rng)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
+def pivotal_tuning_inversion(
+    decode_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    decoder_params: Any,
+    target: jnp.ndarray,
+    latent_init: jnp.ndarray,
+    *,
+    latent_steps: int = 200,
+    latent_lr: float = 1e-1,
+    tune_steps: int = 100,
+    tune_lr: float = 1e-4,
+) -> tuple[jnp.ndarray, Any, dict[str, jnp.ndarray]]:
+    """Two-stage PTI: invert a pivot latent, then fine-tune the decoder.
+
+    ``decode_fn(params, z) -> image``; both stages run as jitted ``lax.scan``
+    loops (the per-image optimization batches trivially across a mesh by
+    vmapping over targets).
+    Returns (pivot_latent, tuned_decoder_params, losses).
+    """
+
+    def recon_loss(z, params):
+        return jnp.mean(jnp.square(decode_fn(params, z) - target))
+
+    # ---- stage 1: latent optimization (frozen decoder) ----
+    latent_tx = optax.adam(latent_lr)
+
+    @jax.jit
+    def invert(z0):
+        opt0 = latent_tx.init(z0)
+
+        def body(carry, _):
+            z, opt = carry
+            loss, grads = jax.value_and_grad(recon_loss)(z, decoder_params)
+            updates, opt = latent_tx.update(grads, opt, z)
+            return (optax.apply_updates(z, updates), opt), loss
+
+        (z, _), losses = jax.lax.scan(body, (z0, opt0), None, length=latent_steps)
+        return z, losses
+
+    pivot, latent_losses = invert(latent_init)
+
+    # ---- stage 2: decoder fine-tune around the pivot ----
+    tune_tx = optax.adam(tune_lr)
+
+    @jax.jit
+    def tune(params0):
+        opt0 = tune_tx.init(params0)
+
+        def body(carry, _):
+            params, opt = carry
+            loss, grads = jax.value_and_grad(lambda p: recon_loss(pivot, p))(params)
+            updates, opt = tune_tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (params, _), losses = jax.lax.scan(body, (params0, opt0), None, length=tune_steps)
+        return params, losses
+
+    tuned_params, tune_losses = tune(decoder_params)
+    return pivot, tuned_params, {"latent": latent_losses, "tune": tune_losses}
