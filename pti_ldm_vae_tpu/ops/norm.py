@@ -49,10 +49,14 @@ def group_norm_silu(
     use_pallas: bool = False,
 ) -> jnp.ndarray:
     """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel."""
-    if use_pallas:
+    b, h, w, c = x.shape
+    # The Pallas kernel keeps one whole image in VMEM; above ~1.5M elements
+    # (input + output + f32 stats temp > ~12 MB) it cannot fit — fall back to
+    # the XLA formulation for those (only the first encoder level at 256^2).
+    if use_pallas and h * w * c <= 1_572_864:
         from .pallas.groupnorm_silu import groupnorm_silu_pallas
 
-        return groupnorm_silu_pallas(x, scale, bias, num_groups=num_groups, eps=eps)
+        return groupnorm_silu_pallas(x, scale, bias, num_groups, eps)
     y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps)
     yf = y.astype(jnp.float32)
     return (yf * (1.0 / (1.0 + jnp.exp(-yf)))).astype(x.dtype)

@@ -1,0 +1,96 @@
+"""Flash attention Pallas TPU kernel (forward).
+
+Tiled softmax attention for the VAE bottleneck / UNet spatial attention.
+Sequence lengths here are spatial token counts (32x32 = 1024 at the default
+config), so a q-tile of 256 with full-resident k/v keeps everything in VMEM
+while the running-max/running-sum recurrence keeps the kernel correct for
+much larger maps (image-resolution scaling, SURVEY.md §5.7).
+
+Backward currently rematerializes through the XLA reference attention
+(``ops.attention.multi_head_attention``) via ``jax.custom_vjp`` — the
+standard remat trade for memory-bound kernels.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+
+__all__ = ["flash_attention"]
+
+_Q_BLOCK = 256
+
+
+def _kernel(q_ref, k_ref, v_ref, out_ref, *, scale: float):
+    q = q_ref[:].astype(jnp.float32)  # [Qb, D]
+    qb = q.shape[0]
+    s = k_ref.shape[0]
+    kv_block = min(_Q_BLOCK, s)
+    num_kv = pl.cdiv(s, kv_block)
+
+    def body(i, carry):
+        acc, m_prev, l_prev = carry
+        start = pl.multiple_of(i * kv_block, kv_block)
+        kv = k_ref[pl.ds(start, kv_block), :].astype(jnp.float32)
+        vv = v_ref[pl.ds(start, kv_block), :].astype(jnp.float32)
+        scores = jnp.dot(q, kv.T, preferred_element_type=jnp.float32) * scale
+        m_cur = jnp.maximum(m_prev, jnp.max(scores, axis=1, keepdims=True))
+        correction = jnp.exp(m_prev - m_cur)
+        p = jnp.exp(scores - m_cur)
+        l_cur = l_prev * correction + jnp.sum(p, axis=1, keepdims=True)
+        acc = acc * correction + jnp.dot(p, vv, preferred_element_type=jnp.float32)
+        return acc, m_cur, l_cur
+
+    acc0 = jnp.zeros((qb, v_ref.shape[1]), jnp.float32)
+    m0 = jnp.full((qb, 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((qb, 1), jnp.float32)
+    acc, _, l_final = jax.lax.fori_loop(0, num_kv, body, (acc0, m0, l0))
+    out_ref[:] = (acc / l_final).astype(out_ref.dtype)
+
+
+def _forward(q, k, v):
+    """q/k/v: [B, H, S, D] -> [B, H, S, D]."""
+    b, h, s, d = q.shape
+    scale = d**-0.5
+    q_block = min(_Q_BLOCK, s)
+    kernel = functools.partial(_kernel, scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h, pl.cdiv(s, q_block)),
+        in_specs=[
+            pl.BlockSpec((None, None, q_block, d), lambda i, j, n: (i, j, n, 0)),
+            pl.BlockSpec((None, None, s, d), lambda i, j, n: (i, j, 0, 0)),
+            pl.BlockSpec((None, None, s, d), lambda i, j, n: (i, j, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((None, None, q_block, d), lambda i, j, n: (i, j, n, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+    )(q, k, v)
+
+
+def _xla_reference(q, k, v):
+    d = q.shape[-1]
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
+    weights = jax.nn.softmax(scores * (d**-0.5), axis=-1).astype(v.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", weights, v)
+
+
+@jax.custom_vjp
+def flash_attention(q, k, v):
+    """Softmax attention over [B, H, S, D] tensors (Pallas TPU forward)."""
+    return _forward(q, k, v)
+
+
+def _fwd(q, k, v):
+    return _forward(q, k, v), (q, k, v)
+
+
+def _bwd(residuals, g):
+    q, k, v = residuals
+    _, vjp = jax.vjp(_xla_reference, q, k, v)
+    return vjp(g)
+
+
+flash_attention.defvjp(_fwd, _bwd)

@@ -1,0 +1,71 @@
+"""Pallas kernel correctness tests (interpret mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pti_ldm_vae_tpu.ops.norm import group_norm_silu
+from pti_ldm_vae_tpu.ops.attention import multi_head_attention
+
+
+def test_groupnorm_silu_pallas_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 16)).astype(np.float32))
+    scale = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    bias = jnp.asarray(rng.normal(size=(16,)).astype(np.float32))
+    expected = group_norm_silu(x, scale, bias, num_groups=4)
+    with pltpu.force_tpu_interpret_mode():
+        got = group_norm_silu(x, scale, bias, num_groups=4, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=1e-5, atol=1e-5)
+
+
+def test_groupnorm_silu_pallas_grad():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.normal(size=(1, 4, 4, 8)).astype(np.float32))
+    scale = jnp.ones((8,))
+    bias = jnp.zeros((8,))
+
+    def loss_ref(x):
+        return jnp.sum(group_norm_silu(x, scale, bias, num_groups=2) ** 2)
+
+    def loss_pallas(x):
+        return jnp.sum(group_norm_silu(x, scale, bias, num_groups=2, use_pallas=True) ** 2)
+
+    g_ref = jax.grad(loss_ref)(x)
+    with pltpu.force_tpu_interpret_mode():
+        g_pallas = jax.grad(loss_pallas)(x)
+    np.testing.assert_allclose(np.asarray(g_pallas), np.asarray(g_ref), rtol=1e-4, atol=1e-5)
+
+
+def test_flash_attention_matches_xla():
+    from jax.experimental.pallas import tpu as pltpu
+
+    rng = np.random.default_rng(2)
+    b, s, c, heads = 2, 64, 32, 2
+    q = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(b, s, c)).astype(np.float32))
+    expected = multi_head_attention(q, k, v, num_heads=heads)
+    with pltpu.force_tpu_interpret_mode():
+        got = multi_head_attention(q, k, v, num_heads=heads, use_pallas=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-5)
+
+
+def test_flash_attention_multi_block():
+    """Sequence longer than the q tile exercises the running-softmax path."""
+    from jax.experimental.pallas import tpu as pltpu
+    from pti_ldm_vae_tpu.ops.pallas.flash_attention import _xla_reference, flash_attention
+
+    rng = np.random.default_rng(3)
+    q = jnp.asarray(rng.normal(size=(1, 1, 512, 16)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(1, 1, 512, 16)).astype(np.float32))
+    v = jnp.asarray(rng.normal(size=(1, 1, 512, 16)).astype(np.float32))
+    expected = _xla_reference(q, k, v)
+    with pltpu.force_tpu_interpret_mode():
+        got = flash_attention(q, k, v)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-5)
