@@ -1,0 +1,57 @@
+"""Spatial (H-axis) sharding over the model axis: numerically identical to
+the unsharded program; combines with data parallelism on a 2-D mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+from pti_ldm_vae_tpu.parallel.mesh import make_mesh
+from pti_ldm_vae_tpu.parallel.spatial import shard_batch_spatial, spatial_sharding
+
+TINY = dict(
+    in_channels=1, out_channels=1, latent_channels=2,
+    channels=(8, 16), num_res_blocks=1, norm_num_groups=4,
+    attention_levels=(False, False),
+    with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+)
+
+
+def test_spatial_plus_data_sharding_matches_unsharded():
+    model = AutoencoderKL(**TINY)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(4, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x, jax.random.key(1))
+
+    mesh = make_mesh(jax.devices(), data=4, model=2)  # 4 dp x 2 sp
+    batch = shard_batch_spatial(mesh, {"image": x})
+    assert batch["image"].sharding.spec == P("data", "model", None, None)
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+
+    f = jax.jit(lambda p, xx: model.apply(p, xx, method=model.reconstruct_deterministic))
+    sharded = f(params_rep, batch["image"])
+    unsharded = f(params, x)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(unsharded), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_spatial_sharding_train_grads_match():
+    """Gradients under spatial sharding equal unsharded gradients."""
+    model = AutoencoderKL(**TINY)
+    x = jnp.asarray(np.random.default_rng(1).normal(size=(2, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x, jax.random.key(1))
+
+    def loss(p, xx):
+        recon, z_mu, z_sigma = model.apply(p, xx, jax.random.key(5))
+        return jnp.mean(jnp.abs(recon - xx)) + 1e-4 * jnp.mean(jnp.square(z_mu))
+
+    g_ref = jax.jit(jax.grad(loss))(params, x)
+
+    mesh = make_mesh(jax.devices(), data=2, model=4)
+    x_sharded = jax.device_put(x, spatial_sharding(mesh))
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+    g_sharded = jax.jit(jax.grad(loss))(params_rep, x_sharded)
+
+    for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sharded)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
