@@ -258,6 +258,10 @@ class VAETrainer:
     def train_epoch(self, epoch: int) -> None:
         self.train_loader.set_epoch(epoch)
         step_fn = self._train_steps[self._adv_active(epoch)]
+        # Metrics stay on device during the epoch (no per-step host sync —
+        # float() every step would serialize dispatch); flushed after the
+        # last batch with correct step numbering.
+        buffered: list[tuple[int, dict]] = []
         for step, batch in enumerate(self.train_loader):
             images, mask, attrs = self._device_batch(batch)
             self.run_key, step_key = jax.random.split(self.run_key)
@@ -266,9 +270,7 @@ class VAETrainer:
             )
             self.total_step += 1
             if self.rank == 0 and (step % self.log_every == 0):
-                payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
-                payload["train/step"] = self.total_step
-                self.logger.log(payload, step=self.total_step)
+                buffered.append((self.total_step, metrics))
             if step == 0 and self.rank == 0:
                 # KL-explosion debug stats (reference ``train_vae.py:432-442``).
                 print(
@@ -276,6 +278,10 @@ class VAETrainer:
                     f"z_sigma mean={float(metrics['debug/z_sigma_mean']):.4f} | "
                     f"kl_loss={float(metrics['train/kl_loss']):.4f}"
                 )
+        for step_num, metrics in buffered:
+            payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
+            payload["train/step"] = step_num
+            self.logger.log(payload, step=step_num)
 
     def validate(self, epoch: int) -> float:
         """Returns epoch-mean reconstruction loss (the best-model criterion,
