@@ -90,12 +90,22 @@ class ShardedDataLoader:
         self.pad_last = pad_last
         self.drop_last = drop_last
         self.epoch = 0
-        self._transform = transform or (
-            lambda path: preprocess_image_np(read_image(path), self.patch_size)
-        )
+        self._transform = transform or self._default_transform
         self._cache: dict[int, np.ndarray] = {}
         self._cache_limit = int(cache_rate * len(self.paths))
         self._pool = ThreadPoolExecutor(max_workers=self.num_workers)
+
+    def _default_transform(self, path: str) -> np.ndarray:
+        """Canonical preprocessing: native C++ fused decode+resize+normalize
+        when the library handles the file (uncompressed grayscale TIFF),
+        else the bit-compatible Python path."""
+        if str(path).lower().endswith((".tif", ".tiff")):
+            from .. import native
+
+            result = native.preprocess_tiff(str(path), self.patch_size)
+            if result is not None:
+                return result
+        return preprocess_image_np(read_image(path), self.patch_size)
 
     def set_epoch(self, epoch: int) -> None:
         """Reference ``train_loader.sampler.set_epoch`` parity
