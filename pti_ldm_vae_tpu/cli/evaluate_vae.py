@@ -19,9 +19,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..losses.kl import kl_from_forward
-from ..losses.composite import reconstruction_loss
-from ..models.lpips import load_lpips_params, lpips_distance
+from ..models.lpips import load_lpips_params, lpips_distance_per_sample
 from ..utils.cli_common import (
     add_shared_io_args,
     build_inference_dataloader,
@@ -45,14 +43,25 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def evaluate(model, variables, dataloader, *, recon_kind: str,
              perceptual_weight: float, lpips_params, seed: int = 42) -> dict[str, float]:
+    def _masked_mean(per_sample, mask):
+        return jnp.sum(per_sample * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
     @jax.jit
-    def eval_batch(params, images, rng):
+    def eval_batch(params, images, mask, rng):
         recon, z_mu, z_sigma = model.apply(params, images, rng)
         recon_c = jnp.clip(recon, 0.0, 1.0)
         images_c = jnp.clip(images, 0.0, 1.0)
-        intensity = reconstruction_loss(recon, images, recon_kind)
-        kl = kl_from_forward(z_mu, z_sigma, mode="reference")
-        perc = lpips_distance(lpips_params, recon, images)
+        # Batch metrics as masked means so zero-padded samples (static batch
+        # shapes) never contaminate the aggregates.
+        diff = recon.astype(jnp.float32) - images.astype(jnp.float32)
+        per = jnp.abs(diff) if recon_kind != "l2" else jnp.square(diff)
+        intensity = _masked_mean(jnp.mean(per, axis=(1, 2, 3)), mask)
+        sec = z_sigma.astype(jnp.float32)
+        kl_ps = -0.5 * jnp.sum(
+            1.0 + sec - jnp.square(z_mu.astype(jnp.float32)) - jnp.exp(sec), axis=(1, 2, 3)
+        )  # reference objective: sigma-as-logvar (SURVEY.md §2.4.1)
+        kl = _masked_mean(kl_ps, mask)
+        perc = _masked_mean(lpips_distance_per_sample(lpips_params, recon, images), mask)
         total = intensity + kl + perceptual_weight * perc  # no kl_weight (parity)
         return {
             "recon_loss": intensity,
@@ -70,7 +79,7 @@ def evaluate(model, variables, dataloader, *, recon_kind: str,
     key = jax.random.key(seed)
     for batch in dataloader:
         key, sub = jax.random.split(key)
-        out = eval_batch(variables, jnp.asarray(batch["image"]), sub)
+        out = eval_batch(variables, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]), sub)
         valid = int(batch["mask"].sum())
         for name in ("recon_loss", "kl_loss", "perceptual_loss", "loss_total"):
             metrics[name].append(float(out[name]))

@@ -1,0 +1,83 @@
+"""Golden regression fixtures: frozen numeric outputs of the core math.
+
+Generated once (seeded) and committed under ``tests/goldens/``; any future
+numeric drift in the model blocks, losses, or preprocessing fails here.
+Regenerate intentionally with ``python tests/test_goldens.py regen``.
+"""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+GOLDEN_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "goldens", "core_v1.npz")
+
+TINY = dict(
+    in_channels=1, out_channels=1, latent_channels=2,
+    channels=(8, 16), num_res_blocks=1, norm_num_groups=4,
+    attention_levels=(False, True),
+    with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+)
+
+
+def _compute():
+    from pti_ldm_vae_tpu.data.transforms import preprocess_image_np
+    from pti_ldm_vae_tpu.losses.ar_vae import compute_ar_vae_loss, make_ar_vae_spec
+    from pti_ldm_vae_tpu.losses.kl import compute_kl_loss
+    from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+    from pti_ldm_vae_tpu.utils.eval_metrics import compute_psnr, compute_ssim
+
+    rng = np.random.default_rng(1234)
+    out = {}
+
+    # model forward (deterministic encode + decode)
+    model = AutoencoderKL(**TINY)
+    x = jnp.asarray(rng.normal(size=(2, 16, 16, 1)).astype(np.float32))
+    variables = model.init(jax.random.key(7), x, jax.random.key(8))
+    z = model.apply(variables, x, method=model.encode_deterministic)
+    recon = model.apply(variables, x, method=model.reconstruct_deterministic)
+    out["encode_z_mu"] = np.asarray(z)
+    out["recon"] = np.asarray(recon)
+
+    # losses
+    mu = jnp.asarray(rng.normal(size=(3, 4, 4, 2)).astype(np.float32))
+    lv = jnp.asarray(rng.normal(size=(3, 4, 4, 2)).astype(np.float32))
+    out["kl"] = np.asarray(compute_kl_loss(mu, lv))
+    spec = make_ar_vae_spec({"a": {"latent_channel": 0, "delta": 1.0}})
+    lat = jnp.asarray(rng.normal(size=(5, 3)).astype(np.float32))
+    attrs = {"a": jnp.asarray(rng.normal(size=(5,)).astype(np.float32))}
+    total, _, _ = compute_ar_vae_loss(lat, attrs, spec)
+    out["ar_loss"] = np.asarray(total)
+
+    # metrics
+    a = jnp.asarray(rng.uniform(0, 1, size=(2, 24, 24, 1)).astype(np.float32))
+    b = jnp.clip(a + 0.05 * jnp.asarray(rng.normal(size=a.shape).astype(np.float32)), 0, 1)
+    out["psnr"] = np.asarray(compute_psnr(a, b))
+    out["ssim"] = np.asarray(compute_ssim(a, b))
+
+    # preprocessing
+    raw = rng.uniform(0, 2, size=(40, 50)).astype(np.float32)
+    raw[raw < 0.6] = 0.0
+    out["preprocess"] = preprocess_image_np(raw, (16, 16))
+    return out
+
+
+def test_goldens_match():
+    assert os.path.exists(GOLDEN_PATH), "golden file missing — run `python tests/test_goldens.py regen`"
+    golden = np.load(GOLDEN_PATH)
+    current = _compute()
+    assert set(golden.files) == set(current)
+    for key in golden.files:
+        np.testing.assert_allclose(
+            current[key], golden[key], rtol=1e-5, atol=1e-6,
+            err_msg=f"numeric drift in golden '{key}'",
+        )
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 1 and sys.argv[1] == "regen":
+        os.makedirs(os.path.dirname(GOLDEN_PATH), exist_ok=True)
+        np.savez(GOLDEN_PATH, **_compute())
+        print(f"Wrote {GOLDEN_PATH}")
