@@ -12,7 +12,6 @@ is written as a PNG.
 from __future__ import annotations
 
 import argparse
-from pathlib import Path
 
 import numpy as np
 

@@ -11,7 +11,6 @@ inconsistency, SURVEY.md §2.4.6); reproduced for parity.
 from __future__ import annotations
 
 import argparse
-import functools
 import json
 from pathlib import Path
 

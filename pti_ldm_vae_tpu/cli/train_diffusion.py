@@ -10,7 +10,6 @@ context tokens. One jitted step (encode + noise + UNet fwd/bwd + Adam).
 from __future__ import annotations
 
 import argparse
-import json
 from pathlib import Path
 
 import jax

@@ -17,7 +17,6 @@ validation triplet dumps, resume. TPU-first mechanics:
 from __future__ import annotations
 
 import json
-import os
 import time
 from pathlib import Path
 from typing import Any
@@ -38,7 +37,6 @@ from ..models.lpips import load_lpips_params
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.determinism import set_determinism
 from ..utils.logging import MetricLogger, init_wandb_config
-from ..utils.visualization import normalize_batch_for_display
 from .state import create_train_state
 from .steps import LossConfig, make_eval_step, make_train_step
 

@@ -24,17 +24,14 @@ TPU-first details:
 
 from __future__ import annotations
 
-import functools
-from dataclasses import dataclass, field
-from typing import Any, Callable
+from dataclasses import dataclass
+from typing import Callable
 
 import jax
 import jax.numpy as jnp
 
-from ..losses.adversarial import discriminator_loss, generator_loss
 from ..losses.ar_vae import ARVaeSpec, compute_ar_vae_loss
 from ..losses.composite import compute_total_loss
-from ..losses.kl import kl_from_forward
 from ..models.lpips import lpips_distance_per_sample
 from .state import GanTrainState
 
