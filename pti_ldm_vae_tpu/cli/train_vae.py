@@ -39,6 +39,14 @@ def parse_args(argv=None) -> argparse.Namespace:
 
 def main(argv=None) -> dict:
     args = parse_args(argv)
+
+    from ..parallel.multihost import maybe_initialize_distributed
+
+    if maybe_initialize_distributed():
+        import jax
+
+        print(f"[INFO] multi-host: process {jax.process_index()}/{jax.process_count()}")
+
     cfg = load_config(args.config_file)
 
     # CLI overrides (reference ``train_vae.py:113-119``).

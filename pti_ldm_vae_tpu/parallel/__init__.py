@@ -1,0 +1,28 @@
+from .mesh import (
+    DATA_AXIS,
+    MODEL_AXIS,
+    barrier_sync,
+    data_sharding,
+    make_mesh,
+    process_rank,
+    replicated,
+    shard_batch,
+    world_size,
+)
+from .multihost import maybe_initialize_distributed
+from .spatial import shard_batch_spatial, spatial_sharding
+
+__all__ = [
+    "DATA_AXIS",
+    "MODEL_AXIS",
+    "barrier_sync",
+    "data_sharding",
+    "make_mesh",
+    "maybe_initialize_distributed",
+    "process_rank",
+    "replicated",
+    "shard_batch",
+    "shard_batch_spatial",
+    "spatial_sharding",
+    "world_size",
+]
