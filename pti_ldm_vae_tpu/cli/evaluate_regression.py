@@ -66,9 +66,11 @@ def main(argv=None) -> dict:
     run_dir = resolve_run_dir(config, args.config_file)
     init_device_and_seed(args.seed)
 
+    import jax
+
     targets: list[str] = config["targets"]
     model, _ = build_regression_model_from_config(config, targets)
-    head_template = model.init_head(__import__("jax").random.key(0))
+    head_template = model.init_head(jax.random.key(0))
     head_params, _ = load_regression_checkpoint(Path(args.checkpoint), targets, head_template)
 
     input_dir = args.input_dir or eval_cfg["data_base_dir"]

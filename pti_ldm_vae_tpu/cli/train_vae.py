@@ -40,6 +40,10 @@ def parse_args(argv=None) -> argparse.Namespace:
 def main(argv=None) -> dict:
     args = parse_args(argv)
 
+    from ..utils.logging import load_dotenv
+
+    load_dotenv()  # WANDB_PROJECT/WANDB_ENTITY (reference ``train_vae.py:30``)
+
     from ..parallel.multihost import maybe_initialize_distributed
 
     if maybe_initialize_distributed():

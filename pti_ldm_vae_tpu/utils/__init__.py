@@ -1,7 +1,9 @@
 from .determinism import set_determinism
 from .eval_metrics import compute_mae, compute_mse, compute_psnr, compute_ssim
 from .logging import MetricLogger
+from .losses import ensure_three_channels
 from .metrics import compute_regression_metrics
+from .profiling import StepTimer, start_profiler_server, trace_if
 from .visualization import (
     normalize_batch_for_display,
     normalize_image_to_uint8,
@@ -11,6 +13,10 @@ from .visualization import (
 
 __all__ = [
     "MetricLogger",
+    "StepTimer",
+    "ensure_three_channels",
+    "start_profiler_server",
+    "trace_if",
     "compute_mae",
     "compute_mse",
     "compute_psnr",

@@ -18,12 +18,26 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["MetricLogger", "init_wandb_config"]
+__all__ = ["MetricLogger", "init_wandb_config", "load_dotenv"]
 
 try:  # gated: not shipped in this environment
     import wandb as _wandb
 except ImportError:  # pragma: no cover
     _wandb = None
+
+
+def load_dotenv(path: str = ".env") -> None:
+    """Minimal ``.env`` loader (reference uses python-dotenv for
+    WANDB_PROJECT/WANDB_ENTITY, ``train_vae.py:30``, ``.env.example``).
+    Existing environment variables win."""
+    if not os.path.exists(path):
+        return
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#") or "=" not in line:
+            continue
+        key, _, value = line.partition("=")
+        os.environ.setdefault(key.strip(), value.strip().strip("'\""))
 
 
 def init_wandb_config(args_cfg: dict[str, Any]) -> dict[str, Any]:
