@@ -37,6 +37,7 @@ from ..models.lpips import load_lpips_params
 from ..parallel.mesh import make_mesh, shard_batch
 from ..utils.determinism import set_determinism
 from ..utils.logging import MetricLogger, init_wandb_config
+from ..utils.visualization import normalize_batch_for_display
 from .state import create_train_state
 from .steps import LossConfig, make_eval_step, make_train_step
 
@@ -276,10 +277,31 @@ class VAETrainer:
                     f"z_sigma mean={float(metrics['debug/z_sigma_mean']):.4f} | "
                     f"kl_loss={float(metrics['train/kl_loss']):.4f}"
                 )
+                # Train triplet panel for batch 0 (reference ``train_vae.py:479-493``).
+                self._log_train_triplet(images, epoch)
         for step_num, metrics in buffered:
             payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
             payload["train/step"] = step_num
             self.logger.log(payload, step=step_num)
+
+    def _log_train_triplet(self, images, epoch: int) -> None:
+        """[original | reconstruction | diff] panel for the epoch's first
+        image, rot90 k=3 display convention (reference ``train_vae.py:479-493``)."""
+        if not hasattr(self, "_triplet_infer"):
+            from .steps import make_inference_fn
+
+            self._triplet_infer = make_inference_fn(self.model)
+        img = np.asarray(images[:1])
+        recon = np.asarray(self._triplet_infer(self.state.params_g, jnp.asarray(img)))
+        diff = np.abs(img - recon)
+        panels = np.concatenate([
+            normalize_batch_for_display(img),
+            normalize_batch_for_display(recon),
+            normalize_batch_for_display(diff),
+        ], axis=2)[0, :, :, 0]
+        triplet = np.rot90(panels, k=3)
+        self.logger.log_images("train/triplets", [(triplet * 255).astype(np.uint8)],
+                               step=self.total_step)
 
     def validate(self, epoch: int) -> float:
         """Returns epoch-mean reconstruction loss (the best-model criterion,
