@@ -1,0 +1,276 @@
+"""Cross-framework numeric parity: JAX model vs a torch mirror.
+
+MONAI is not installed in this environment, so this test builds an
+independent torch implementation of the same architecture (CompVis-lineage
+AutoencoderKL, NCHW) as a fixture, loads it with weights exported through the
+MONAI-named converter, and asserts encode/decode parity with the JAX model.
+This pins down conv padding conventions, the asymmetric downsample, nearest
+upsampling, GroupNorm epsilon/semantics, attention scaling, and the
+weight-layout transposes — the exact failure surface of the ≤1e-3 parity goal.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+import torch.nn.functional as F
+
+from pti_ldm_vae_tpu.checkpoint.torch_convert import to_torch_state_dict
+from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+
+CFG = dict(
+    spatial_dims=2, in_channels=1, out_channels=1, latent_channels=3,
+    channels=[8, 16], num_res_blocks=1, norm_num_groups=4, norm_eps=1e-6,
+    attention_levels=[False, True],
+    with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+)
+
+
+# --------------------------- torch mirror (test fixture) ---------------------
+class TResBlock(nn.Module):
+    def __init__(self, cin, cout, groups, eps):
+        super().__init__()
+        self.norm1 = nn.GroupNorm(groups, cin, eps=eps)
+        self.conv1 = nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = nn.GroupNorm(groups, cout, eps=eps)
+        self.conv2 = nn.Conv2d(cout, cout, 3, padding=1)
+        self.nin_shortcut = nn.Conv2d(cin, cout, 1) if cin != cout else None
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        skip = self.nin_shortcut(x) if self.nin_shortcut is not None else x
+        return skip + h
+
+
+class TAttention(nn.Module):
+    def __init__(self, c, groups, eps):
+        super().__init__()
+        self.norm = nn.GroupNorm(groups, c, eps=eps)
+        self.to_q = nn.Linear(c, c)
+        self.to_k = nn.Linear(c, c)
+        self.to_v = nn.Linear(c, c)
+        self.out_proj = nn.Linear(c, c)
+
+    def forward(self, x):
+        b, c, h, w = x.shape
+        seq = self.norm(x).permute(0, 2, 3, 1).reshape(b, h * w, c)
+        q, k, v = self.to_q(seq), self.to_k(seq), self.to_v(seq)
+        attn = torch.softmax(q @ k.transpose(1, 2) / math.sqrt(c), dim=-1) @ v
+        out = self.out_proj(attn).reshape(b, h, w, c).permute(0, 3, 1, 2)
+        return x + out
+
+
+class TMirror(nn.Module):
+    """Encoder/decoder matching models/autoencoder_kl.py block-for-block."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        ch, groups, eps = cfg["channels"], cfg["norm_num_groups"], cfg["norm_eps"]
+        lat = cfg["latent_channels"]
+        nrb = cfg["num_res_blocks"]
+        attn = cfg["attention_levels"]
+
+        enc = [nn.Conv2d(cfg["in_channels"], ch[0], 3, padding=1)]
+        cin = ch[0]
+        for lvl, cout in enumerate(ch):
+            for _ in range(nrb):
+                enc.append(TResBlock(cin, cout, groups, eps))
+                cin = cout
+                if attn[lvl]:
+                    enc.append(TAttention(cout, groups, eps))
+            if lvl != len(ch) - 1:
+                enc.append("DOWN")  # placeholder marker
+        self.enc_blocks = nn.ModuleList([m for m in enc if m != "DOWN"])
+        self.enc_layout = enc
+        self.enc_down = nn.ModuleList(
+            [nn.Conv2d(ch[i], ch[i], 3, stride=2) for i in range(len(ch) - 1)]
+        )
+        self.enc_mid1 = TResBlock(ch[-1], ch[-1], groups, eps)
+        self.enc_mid_attn = TAttention(ch[-1], groups, eps)
+        self.enc_mid2 = TResBlock(ch[-1], ch[-1], groups, eps)
+        self.enc_norm_out = nn.GroupNorm(groups, ch[-1], eps=eps)
+        self.enc_conv_out = nn.Conv2d(ch[-1], lat, 3, padding=1)
+        self.quant_mu = nn.Conv2d(lat, lat, 1)
+        self.quant_logsig = nn.Conv2d(lat, lat, 1)
+        self.post_quant = nn.Conv2d(lat, lat, 1)
+
+        rev = list(reversed(ch))
+        rattn = list(reversed(attn))
+        self.dec_conv_in = nn.Conv2d(lat, rev[0], 3, padding=1)
+        self.dec_mid1 = TResBlock(rev[0], rev[0], groups, eps)
+        self.dec_mid_attn = TAttention(rev[0], groups, eps)
+        self.dec_mid2 = TResBlock(rev[0], rev[0], groups, eps)
+        dec = []
+        cin = rev[0]
+        ups = []
+        for lvl, cout in enumerate(rev):
+            for _ in range(nrb):
+                dec.append(TResBlock(cin, cout, groups, eps))
+                cin = cout
+                if rattn[lvl]:
+                    dec.append(TAttention(cout, groups, eps))
+            if lvl != len(rev) - 1:
+                ups.append(nn.Conv2d(cout, cout, 3, padding=1))
+                dec.append("UP")
+        self.dec_blocks = nn.ModuleList([m for m in dec if m != "UP"])
+        self.dec_layout = dec
+        self.dec_up = nn.ModuleList(ups)
+        self.dec_norm_out = nn.GroupNorm(groups, rev[-1], eps=eps)
+        self.dec_conv_out = nn.Conv2d(rev[-1], cfg["out_channels"], 3, padding=1)
+
+    def encode(self, x):
+        h = None
+        block_iter = iter(self.enc_blocks)
+        down_iter = iter(self.enc_down)
+        for item in self.enc_layout:
+            if item == "DOWN":
+                h = F.pad(h, (0, 1, 0, 1))
+                h = next(down_iter)(h)
+            else:
+                h = next(block_iter)(h if h is not None else x)
+        h = self.enc_mid2(self.enc_mid_attn(self.enc_mid1(h)))
+        h = self.enc_conv_out(F.silu(self.enc_norm_out(h)))
+        mu = self.quant_mu(h)
+        logvar = torch.clamp(self.quant_logsig(h), -30.0, 20.0)
+        return mu, torch.exp(0.5 * logvar)
+
+    def decode(self, z):
+        h = self.dec_conv_in(self.post_quant(z))
+        h = self.dec_mid2(self.dec_mid_attn(self.dec_mid1(h)))
+        block_iter = iter(self.dec_blocks)
+        up_iter = iter(self.dec_up)
+        for item in self.dec_layout:
+            if item == "UP":
+                h = F.interpolate(h, scale_factor=2, mode="nearest")
+                h = next(up_iter)(h)
+            else:
+                h = next(block_iter)(h)
+        return self.dec_conv_out(F.silu(self.dec_norm_out(h)))
+
+
+def _load_mirror_from_converter(mirror: TMirror, variables) -> None:
+    """Map the converter's MONAI-named tensors onto the mirror's modules."""
+    sd = {k: torch.from_numpy(np.ascontiguousarray(v))
+          for k, v in to_torch_state_dict(variables, CFG).items()}
+
+    def conv(mod, prefix):
+        mod.weight.data = sd[f"{prefix}.weight"]
+        mod.bias.data = sd[f"{prefix}.bias"]
+
+    def norm(mod, prefix):
+        mod.weight.data = sd[f"{prefix}.weight"]
+        mod.bias.data = sd[f"{prefix}.bias"]
+
+    def res(mod, prefix):
+        norm(mod.norm1, f"{prefix}.norm1")
+        conv(mod.conv1, f"{prefix}.conv1.conv")
+        norm(mod.norm2, f"{prefix}.norm2")
+        conv(mod.conv2, f"{prefix}.conv2.conv")
+        if mod.nin_shortcut is not None:
+            conv(mod.nin_shortcut, f"{prefix}.nin_shortcut.conv")
+
+    def attn(mod, prefix):
+        norm(mod.norm, f"{prefix}.norm")
+        for name in ("to_q", "to_k", "to_v"):
+            getattr(mod, name).weight.data = sd[f"{prefix}.attn.{name}.weight"]
+            getattr(mod, name).bias.data = sd[f"{prefix}.attn.{name}.bias"]
+        mod.out_proj.weight.data = sd[f"{prefix}.attn.out_proj.weight"]
+        mod.out_proj.bias.data = sd[f"{prefix}.attn.out_proj.bias"]
+
+    # encoder: walk layout in the converter's block numbering
+    n = 0
+    block_iter = iter(mirror.enc_blocks)
+    down_iter = iter(mirror.enc_down)
+    conv(next(block_iter), f"encoder.blocks.{n}.conv"); n += 1
+    ch = CFG["channels"]
+    for lvl in range(len(ch)):
+        for _ in range(CFG["num_res_blocks"]):
+            res(next(block_iter), f"encoder.blocks.{n}"); n += 1
+            if CFG["attention_levels"][lvl]:
+                attn(next(block_iter), f"encoder.blocks.{n}"); n += 1
+        if lvl != len(ch) - 1:
+            conv(next(down_iter), f"encoder.blocks.{n}.conv.conv"); n += 1
+    res(mirror.enc_mid1, f"encoder.blocks.{n}"); n += 1
+    attn(mirror.enc_mid_attn, f"encoder.blocks.{n}"); n += 1
+    res(mirror.enc_mid2, f"encoder.blocks.{n}"); n += 1
+    norm(mirror.enc_norm_out, f"encoder.blocks.{n}"); n += 1
+    conv(mirror.enc_conv_out, f"encoder.blocks.{n}.conv"); n += 1
+    conv(mirror.quant_mu, "quant_conv_mu.conv")
+    conv(mirror.quant_logsig, "quant_conv_log_sigma.conv")
+    conv(mirror.post_quant, "post_quant_conv.conv")
+
+    # decoder
+    n = 0
+    conv(mirror.dec_conv_in, f"decoder.blocks.{n}.conv"); n += 1
+    res(mirror.dec_mid1, f"decoder.blocks.{n}"); n += 1
+    attn(mirror.dec_mid_attn, f"decoder.blocks.{n}"); n += 1
+    res(mirror.dec_mid2, f"decoder.blocks.{n}"); n += 1
+    rev_attn = list(reversed(CFG["attention_levels"]))
+    block_iter = iter(mirror.dec_blocks)
+    up_iter = iter(mirror.dec_up)
+    for lvl in range(len(ch)):
+        for _ in range(CFG["num_res_blocks"]):
+            res(next(block_iter), f"decoder.blocks.{n}"); n += 1
+            if rev_attn[lvl]:
+                attn(next(block_iter), f"decoder.blocks.{n}"); n += 1
+        if lvl != len(ch) - 1:
+            conv(next(up_iter), f"decoder.blocks.{n}.conv.conv"); n += 1
+    norm(mirror.dec_norm_out, f"decoder.blocks.{n}"); n += 1
+    conv(mirror.dec_conv_out, f"decoder.blocks.{n}.conv"); n += 1
+
+
+@pytest.fixture(scope="module")
+def models():
+    jax_model = AutoencoderKL(
+        **{**CFG, "channels": tuple(CFG["channels"]),
+           "attention_levels": tuple(CFG["attention_levels"])}
+    )
+    variables = jax_model.init(
+        jax.random.key(3), jnp.zeros((1, 16, 16, 1)), jax.random.key(4)
+    )
+    mirror = TMirror(CFG).eval()
+    _load_mirror_from_converter(mirror, variables)
+    return jax_model, variables, mirror
+
+
+def test_encode_parity(models):
+    jax_model, variables, mirror = models
+    x = np.random.default_rng(0).normal(size=(2, 16, 16, 1)).astype(np.float32)
+    mu_j, sigma_j = jax_model.apply(variables, jnp.asarray(x), method=jax_model.encode)
+    with torch.no_grad():
+        mu_t, sigma_t = mirror.encode(torch.from_numpy(x).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(mu_j), mu_t.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(sigma_j), sigma_t.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_decode_parity(models):
+    jax_model, variables, mirror = models
+    z = np.random.default_rng(1).normal(size=(2, 8, 8, CFG["latent_channels"])).astype(np.float32)
+    out_j = jax_model.apply(variables, jnp.asarray(z), method=jax_model.decode_stage_2_outputs)
+    with torch.no_grad():
+        out_t = mirror.decode(torch.from_numpy(z).permute(0, 3, 1, 2))
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-5
+    )
+
+
+def test_roundtrip_parity_within_1e3(models):
+    """The driver's headline parity bar: deterministic reconstruction within
+    1e-3 pixels between frameworks."""
+    jax_model, variables, mirror = models
+    x = np.random.default_rng(2).normal(size=(1, 16, 16, 1)).astype(np.float32)
+    recon_j = jax_model.apply(variables, jnp.asarray(x), method=jax_model.reconstruct_deterministic)
+    with torch.no_grad():
+        mu, _ = mirror.encode(torch.from_numpy(x).permute(0, 3, 1, 2))
+        recon_t = mirror.decode(mu)
+    diff = np.abs(np.asarray(recon_j) - recon_t.permute(0, 2, 3, 1).numpy())
+    assert diff.max() < 1e-3, diff.max()
