@@ -31,7 +31,8 @@ __all__ = ["LatentRegressor", "VAELatentRegressor", "flatten_latent", "infer_fla
 
 _ACTIVATIONS = {
     "relu": nn.relu,
-    "gelu": nn.gelu,
+    # exact erf GELU: torch nn.GELU default (jax's default is the tanh approx)
+    "gelu": lambda x: nn.gelu(x, approximate=False),
     "leaky_relu": lambda x: nn.leaky_relu(x, 0.01),
     "elu": nn.elu,
 }

@@ -123,7 +123,8 @@ class TransformerBlock(nn.Module):
         h = nn.LayerNorm(name="norm3", dtype=self.compute_dtype)(x)
         gate = nn.Dense(c * 8, name="ff_in", **kw)(h)
         a, g = jnp.split(gate, 2, axis=-1)
-        h = a * jax.nn.gelu(g)
+        # exact erf GELU (torch default) — jax.nn.gelu defaults to tanh approx
+        h = a * jax.nn.gelu(g, approximate=False)
         return x + nn.Dense(c, name="ff_out", **kw)(h)
 
 
