@@ -9,14 +9,19 @@ maps those keys onto this framework's Flax parameter tree and back:
 * linear weights: torch [out, in] -> flax [in, out],
 * GroupNorm weight/bias -> GroupNormOp scale/bias.
 
-Key layout assumed for MONAI 1.5.1 (``uv.lock:859-861``): sequential
-``encoder.blocks.{n}`` / ``decoder.blocks.{n}`` built in construction order
-(conv_in, per-level res blocks [+attention], down/up-sample, mid block, final
-norm, conv_out), with MONAI ``Convolution`` wrappers adding a ``.conv``
-segment and ``SABlock`` attention using ``to_q/to_k/to_v/out_proj`` (a fused
-``qkv`` variant is also handled). Every tensor is shape-checked; a mismatch
-raises with the offending key so drift against a real MONAI checkpoint is
-loud, not silent.
+Key layout per MONAI 1.5.1 (``uv.lock:859-861``), documented module-by-module
+in ``docs/MONAI_NOTES.md``: sequential ``encoder.blocks.{n}`` /
+``decoder.blocks.{n}`` built in construction order (conv_in, per-level res
+blocks [+attention], down/up-sample, mid block, final norm, conv_out), with
+MONAI ``Convolution`` wrappers adding a ``.conv`` segment and ``SABlock``
+attention using ``to_q/to_k/to_v/out_proj`` (the ``use_combined_linear``
+fused-``qkv`` variant is also handled). Every tensor is shape-checked; a
+mismatch raises with the offending key so drift against a real MONAI
+checkpoint is loud, not silent.
+
+``disc_from_torch_state_dict`` handles the reference's PatchDiscriminator
+checkpoints (``discriminator_epoch{N}.pth``; keys ``initial_conv.conv.*``,
+``0.conv.*`` … ``final_conv.conv.*`` — MONAI_NOTES.md §3).
 """
 
 from __future__ import annotations
@@ -25,7 +30,14 @@ from typing import Any
 
 import numpy as np
 
-__all__ = ["from_torch_state_dict", "to_torch_state_dict", "monai_layout"]
+__all__ = [
+    "from_torch_state_dict",
+    "to_torch_state_dict",
+    "monai_layout",
+    "disc_monai_layout",
+    "disc_from_torch_state_dict",
+    "disc_to_torch_state_dict",
+]
 
 
 def _levels(config: dict) -> tuple[list[int], list[int], list[bool]]:
@@ -182,6 +194,56 @@ def from_torch_state_dict(state_dict: dict[str, Any], config: dict) -> dict:
     if sd:
         raise KeyError(f"unconsumed torch keys (layout drift?): {sorted(sd)[:10]}")
     return {"params": params}
+
+
+def disc_monai_layout(num_layers_d: int = 3) -> list[tuple[str, str, bool]]:
+    """Ordered [(flax_module, monai_prefix, has_bias)] for PatchDiscriminator.
+
+    MONAI names its Sequential children ``initial_conv``, ``"0"`` …
+    ``str(num_layers_d-1)``, ``final_conv`` (MONAI_NOTES.md §3); only the
+    first and last convs carry biases (middle layers: ``bias=False``).
+    """
+    out = [("conv_0", "initial_conv.conv", True)]
+    for layer in range(num_layers_d - 1):
+        out.append((f"conv_{layer + 1}", f"{layer}.conv", False))
+    out.append(("conv_penultimate", f"{num_layers_d - 1}.conv", False))
+    out.append(("conv_final", "final_conv.conv", True))
+    return out
+
+
+def disc_from_torch_state_dict(
+    state_dict: dict[str, Any], num_layers_d: int = 3
+) -> dict:
+    """MONAI PatchDiscriminator state dict -> flax variables tree."""
+    state_dict = state_dict.get("discriminator_state_dict", state_dict)
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    for flax_name, monai_prefix, has_bias in disc_monai_layout(num_layers_d):
+        if f"{monai_prefix}.weight" not in sd:
+            raise KeyError(
+                f"discriminator checkpoint missing {monai_prefix}.weight "
+                f"(have e.g. {sorted(sd)[:5]}); layout drift vs MONAI?"
+            )
+        w = sd.pop(f"{monai_prefix}.weight")
+        params[flax_name] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        if has_bias:
+            params[flax_name]["bias"] = sd.pop(f"{monai_prefix}.bias")
+    if sd:
+        raise KeyError(f"unconsumed discriminator keys (layout drift?): {sorted(sd)[:10]}")
+    return {"params": params}
+
+
+def disc_to_torch_state_dict(variables: dict, num_layers_d: int = 3) -> dict[str, np.ndarray]:
+    """Flax PatchDiscriminator variables -> MONAI-named numpy state dict."""
+    params = variables.get("params", variables)
+    sd: dict[str, np.ndarray] = {}
+    for flax_name, monai_prefix, has_bias in disc_monai_layout(num_layers_d):
+        sd[f"{monai_prefix}.weight"] = np.transpose(
+            np.asarray(params[flax_name]["kernel"]), (3, 2, 0, 1)
+        )
+        if has_bias:
+            sd[f"{monai_prefix}.bias"] = np.asarray(params[flax_name]["bias"])
+    return sd
 
 
 def to_torch_state_dict(variables: dict, config: dict) -> dict[str, np.ndarray]:

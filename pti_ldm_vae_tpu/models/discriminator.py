@@ -8,8 +8,15 @@ level. ``__call__`` returns the list of per-layer feature maps; training
 consumes only the final logits map ``[-1]`` (``train_vae.py:400,451-453``).
 
 The reference wraps this in SyncBatchNorm conversion for DDP
-(``train_vae.py:278``) — a no-op for instance norm, so the TPU build needs no
-cross-replica statistics here.
+(``train_vae.py:278``) — a no-op for instance norm (param-free,
+track_running_stats=False), so the TPU build needs no cross-replica
+statistics here.
+
+Layer stack, key names, and init verified against MONAI 1.5.1
+``patchgan_discriminator.py`` — see ``docs/MONAI_NOTES.md`` §3. Conv kernels
+use the pix2pix ``normal(0, 0.02)`` init like MONAI's ``initialise_weights``.
+Real reference discriminator checkpoints load via
+``checkpoint/torch_convert.py::disc_from_torch_state_dict``.
 """
 
 from __future__ import annotations
@@ -43,6 +50,7 @@ class PatchDiscriminator(nn.Module):
         conv_kw = dict(
             kernel_size=(k, k),
             padding=1,
+            kernel_init=nn.initializers.normal(0.02),
             dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
