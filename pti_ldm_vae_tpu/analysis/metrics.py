@@ -95,6 +95,14 @@ def _load_vgg_params(seed: int = 0) -> list[dict]:
             raw = np.load(cand)
             n = len([k for k in raw.files if k.endswith("/w")])
             return [{"w": raw[f"conv{i}/w"], "b": raw[f"conv{i}/b"]} for i in range(n)]
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "VGG16: no pretrained weights found; ImageComparison feature "
+        "similarities use DETERMINISTIC RANDOM features (not ImageNet). "
+        "Convert real weights with tools/convert_vgg16_weights.py and set "
+        "$PTI_VGG16_WEIGHTS or place weights/vgg16_features.npz."
+    )
     return _init_vgg_params(seed)
 
 

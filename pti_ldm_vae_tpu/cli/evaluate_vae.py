@@ -103,14 +103,22 @@ def main(argv=None) -> None:
         num_samples=args.num_samples, num_workers=args.num_workers,
     )
     print(f"[INFO] Found {len(image_paths)} images in {args.input_dir}")
+    from ..models.lpips import lpips_is_pretrained
+
+    lpips_params = load_lpips_params()
     summary = evaluate(
         model, variables, dataloader,
         recon_kind=config.autoencoder_train.get("recon_loss", "l1"),
         perceptual_weight=config.autoencoder_train["perceptual_weight"],
-        lpips_params=load_lpips_params(),
+        lpips_params=lpips_params,
         seed=args.seed,
     )
-    payload = {"args": serialize_args(args), "metrics": summary, "files": image_paths}
+    payload = {
+        "args": serialize_args(args),
+        "metrics": summary,
+        "perceptual_pretrained": lpips_is_pretrained(lpips_params),
+        "files": image_paths,
+    }
     with open(Path(output_dir) / "metrics.json", "w", encoding="utf-8") as fh:
         json.dump(payload, fh, indent=2)
     print("\n=== Evaluation Summary ===")

@@ -17,7 +17,15 @@ __all__ = ["main"]
 
 
 def parse_args(argv=None) -> argparse.Namespace:
-    parser = argparse.ArgumentParser(description="Train a VAE (TPU)")
+    parser = argparse.ArgumentParser(
+        description="Train a VAE (TPU)",
+        epilog="Perceptual loss: converted LPIPS(squeeze) weights are loaded "
+               "from $PTI_LPIPS_WEIGHTS or weights/lpips_squeeze.npz "
+               "(tools/convert_lpips_weights.py). Without them training uses "
+               "deterministic RANDOM perceptual features — fine for smoke "
+               "runs, NOT valid for parity with the torch reference; the run "
+               "config records perceptual_pretrained accordingly.",
+    )
     parser.add_argument("-c", "--config-file", required=True, help="Config json file")
     parser.add_argument("-g", "--gpus", type=int, default=1,
                         help="Accepted for reference CLI compatibility; device "

@@ -24,6 +24,7 @@ The reference feeds single-channel images repeated to 3 channels
 
 from __future__ import annotations
 
+import logging
 import os
 from typing import Any
 
@@ -35,10 +36,13 @@ __all__ = [
     "ensure_three_channels",
     "init_lpips_params",
     "load_lpips_params",
+    "lpips_is_pretrained",
     "lpips_features",
     "lpips_distance",
     "lpips_distance_per_sample",
 ]
+
+logger = logging.getLogger(__name__)
 
 # LPIPS published scaling constants (RGB).
 _SHIFT = np.array([-0.030, -0.088, -0.188], dtype=np.float32)
@@ -124,8 +128,27 @@ def load_lpips_params(npz_path: str | None = None, seed: int = 0) -> dict[str, A
                     node = node.setdefault(part, {})
                 node[parts[-1]] = jnp.asarray(raw[key])
             params["_pretrained"] = jnp.ones((), dtype=jnp.float32)
+            logger.info("LPIPS: loaded pretrained squeeze weights from %s", cand)
             return params
+    # LOUD fallback: training against random features is a well-defined but
+    # NOT LPIPS-calibrated perceptual objective; parity runs vs the torch
+    # reference are invalid without converted weights.
+    logger.warning(
+        "LPIPS: no pretrained weights found (looked at %s); falling back to "
+        "DETERMINISTIC RANDOM features. The perceptual loss is still a usable "
+        "training signal but is NOT LPIPS — for reference parity convert real "
+        "weights with tools/convert_lpips_weights.py and set "
+        "$PTI_LPIPS_WEIGHTS or place weights/lpips_squeeze.npz.",
+        [c for c in candidates if c],
+    )
     return init_lpips_params(seed)
+
+
+def lpips_is_pretrained(params: dict[str, Any]) -> bool:
+    """True when ``params`` carry converted pretrained weights (the
+    ``_pretrained`` flag written by :func:`load_lpips_params`)."""
+    flag = params.get("_pretrained")
+    return bool(flag is not None and float(flag) == 1.0)
 
 
 def _conv(x, p, stride=1, padding=0):

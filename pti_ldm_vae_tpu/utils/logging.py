@@ -81,6 +81,11 @@ class MetricLogger:
             return
         os.makedirs(run_dir, exist_ok=True)
         self._fh = open(os.path.join(run_dir, "metrics.jsonl"), "a", encoding="utf-8")
+        if run_config:
+            # Durable record of the run config (incl. perceptual_pretrained)
+            # even when W&B is absent.
+            with open(os.path.join(run_dir, "run_config.json"), "w", encoding="utf-8") as fh:
+                json.dump(run_config, fh, indent=2, default=str)
         enabled = bool(wandb_cfg and wandb_cfg.get("enabled", True))
         if enabled and _wandb is not None:
             project = os.getenv("WANDB_PROJECT", wandb_cfg.get("project", "pti-ldm-vae"))
