@@ -12,11 +12,15 @@ The reference's distributed stack is one strategy: data parallelism via
   (``data.loader.shard_indices`` keyed by ``jax.process_index()``),
 * SyncBatchNorm             ==  not needed (the discriminator uses instance
   norm, which has no cross-replica statistics),
-* ``dist.barrier()``        ==  a blocking collective at startup
-  (:func:`barrier_sync`).
+* ``dist.barrier()``        ==  :func:`barrier_sync` — a real cross-process
+  collective (``multihost_utils.sync_global_devices``) under multi-host.
 
-A ``model`` axis is reserved for future tensor/spatial sharding of the conv
-stacks (image-resolution scaling, SURVEY.md §5.7 — additive, not parity).
+Multi-host batch assembly: each process feeds its LOCAL loader shard to
+:func:`place_batch`, which pads it to the per-process device count (masked
+rows, numerically inert — every loss is a masked mean) and assembles a
+global array via ``jax.make_array_from_process_local_data``. Under one
+process this degrades to a plain sharded ``device_put``. The ``model`` axis
+carries spatial (image-height) sharding — see ``parallel/spatial.py``.
 """
 
 from __future__ import annotations
@@ -30,7 +34,10 @@ __all__ = [
     "make_mesh",
     "data_sharding",
     "replicated",
+    "pad_batch",
+    "place_batch",
     "shard_batch",
+    "first_local_rows",
     "barrier_sync",
     "world_size",
     "process_rank",
@@ -43,7 +50,9 @@ MODEL_AXIS = "model"
 def make_mesh(devices=None, *, data: int | None = None, model: int = 1) -> Mesh:
     """Mesh over all (or given) devices: ``(data, model)`` axes.
 
-    ``data`` defaults to ``len(devices) // model``.
+    ``data`` defaults to ``len(devices) // model``. Under multi-host, pass
+    the GLOBAL device list (the default) — jit programs address every device
+    even though each process only feeds its local ones.
     """
     devices = jax.devices() if devices is None else list(devices)
     if data is None:
@@ -63,27 +72,102 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
-    """Place a host batch (pytree of arrays) with batch-axis sharding."""
+def pad_batch(batch, multiple: int):
+    """Zero-pad every array's leading axis to the next multiple.
+
+    Padding rows carry ``mask == 0`` (they are zeros), so masked-mean losses
+    and metrics ignore them — numerically identical to the unpadded batch.
+    """
+    leaves = jax.tree.leaves(batch)
+    if not leaves or multiple <= 1:
+        return batch
+    n = np.asarray(leaves[0]).shape[0]
+    target = -(-n // multiple) * multiple
+    if target == n:
+        return batch
+
+    def pad(x):
+        x = np.asarray(x)
+        width = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
+        return np.pad(x, width)
+
+    return jax.tree.map(pad, batch)
+
+
+def place_batch(mesh: Mesh, batch, *, spatial: bool = False):
+    """Place a process-local host batch as a GLOBAL batch-sharded array tree.
+
+    * single process: sharded ``device_put`` (row i -> data-axis shard i),
+    * multi-host: ``jax.make_array_from_process_local_data`` assembles the
+      global array from each process's local rows (the loader already shards
+      files by ``process_index``; global batch = sum of local batches).
+
+    Local batches are padded (masked) to the per-process slice of the data
+    axis so every shard is equal-sized — XLA requires even sharding.
+    With ``spatial=True``, 4-D (NHWC) arrays additionally shard H over the
+    ``model`` axis (``parallel/spatial.py``).
+    """
+    n_proc = jax.process_count()
+    data_size = mesh.shape[DATA_AXIS]
+    if data_size % n_proc:
+        raise ValueError(
+            f"data axis ({data_size}) must divide evenly over {n_proc} processes"
+        )
+    batch = pad_batch(batch, data_size // n_proc)
+
+    def spec_for(x) -> P:
+        if spatial and x.ndim == 4:
+            return P(DATA_AXIS, MODEL_AXIS, None, None)
+        return P(DATA_AXIS, *([None] * (x.ndim - 1)))
 
     def place(x):
-        x = jnp.asarray(x)
-        return jax.device_put(x, data_sharding(mesh, x.ndim))
+        x = np.asarray(x)
+        sharding = NamedSharding(mesh, spec_for(x))
+        if n_proc == 1:
+            return jax.device_put(jnp.asarray(x), sharding)
+        global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+        return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(place, batch)
 
 
-def barrier_sync() -> None:
-    """Blocking cross-device collective (reference ``dist.barrier()``,
-    ``distributed.py:27``)."""
-    x = jnp.ones((jax.device_count(),))
-    jax.block_until_ready(
-        jax.jit(lambda v: jnp.sum(v), out_shardings=None)(x)
-    )
+def shard_batch(mesh: Mesh, batch):
+    """Back-compat alias: batch-axis sharding without spatial partitioning."""
+    return place_batch(mesh, batch, spatial=False)
+
+
+def first_local_rows(x) -> np.ndarray:
+    """Host copy of the rows resident on this process's first device.
+
+    Safe under multi-host where ``np.asarray(global_array)`` would raise on
+    non-addressable shards; used for image dumps/debug, never for metrics.
+    """
+    if jax.process_count() == 1:
+        return np.asarray(x)
+    return np.asarray(x.addressable_shards[0].data)
+
+
+def barrier_sync(tag: str = "barrier") -> None:
+    """Cross-PROCESS barrier (reference ``dist.barrier()``,
+    ``distributed.py:27``). A real collective under multi-host; a device
+    flush under a single process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(tag)
+    else:
+        jax.block_until_ready(jnp.zeros(()))
 
 
 def world_size() -> int:
-    return jax.device_count()
+    """DDP ``world_size`` analog for LR scaling: the number of PROCESSES.
+
+    The reference scales LR by its process count because each DDP rank adds
+    ``batch_size`` samples to the global batch (``train_vae.py:301-304``).
+    Here a single host drives all its chips over one ``batch_size`` batch, so
+    chips alone don't grow the global batch — processes do.
+    """
+    return jax.process_count()
 
 
 def process_rank() -> int:

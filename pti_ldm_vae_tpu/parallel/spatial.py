@@ -16,11 +16,9 @@ Combine with batch sharding on the ``data`` axis for dp x sp meshes:
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from .mesh import DATA_AXIS, MODEL_AXIS
+from .mesh import DATA_AXIS, MODEL_AXIS, place_batch
 
 __all__ = ["spatial_sharding", "shard_batch_spatial"]
 
@@ -34,14 +32,5 @@ def spatial_sharding(mesh: Mesh, ndim: int = 4) -> NamedSharding:
 
 def shard_batch_spatial(mesh: Mesh, batch):
     """Place image arrays with (data, model) sharding; 1-D arrays (masks)
-    shard on data only; everything else replicates."""
-
-    def place(x):
-        x = jnp.asarray(x)
-        if x.ndim == 4:
-            return jax.device_put(x, spatial_sharding(mesh))
-        if x.ndim >= 1:
-            return jax.device_put(x, NamedSharding(mesh, P(DATA_AXIS, *([None] * (x.ndim - 1)))))
-        return jax.device_put(x, NamedSharding(mesh, P()))
-
-    return jax.tree.map(place, batch)
+    shard on data only. Multi-host-safe (``mesh.place_batch``)."""
+    return place_batch(mesh, batch, spatial=True)

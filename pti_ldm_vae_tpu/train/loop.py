@@ -34,7 +34,7 @@ from ..losses.composite import compute_total_loss
 from ..models.autoencoder_kl import autoencoder_from_config
 from ..models.discriminator import PatchDiscriminator
 from ..models.lpips import load_lpips_params
-from ..parallel.mesh import make_mesh, shard_batch
+from ..parallel.mesh import first_local_rows, make_mesh, place_batch
 from ..utils.determinism import set_determinism
 from ..utils.logging import MetricLogger, init_wandb_config
 from ..utils.visualization import normalize_batch_for_display
@@ -88,14 +88,30 @@ class VAETrainer:
 
         train_cfg = cfg["autoencoder_train"]
         self.batch_size = int(train_cfg["batch_size"])
-        # Data-parallel degree: the largest device count the global batch
-        # shards over evenly (1 chip -> 1; a full slice with batch 8 -> 8).
-        # This is the reference's ``world_size`` (``train_vae.py:301-304``).
-        import math
-
-        dp = math.gcd(self.batch_size, jax.device_count())
-        self.mesh = make_mesh(jax.devices()[:dp], data=dp)
-        self.world = dp
+        # Mesh over ALL devices (global under multi-host): batch rows shard
+        # on ``data``; an optional ``parallelism: {spatial: M}`` config block
+        # shards image height over ``model`` (resolution scaling,
+        # parallel/spatial.py). Batches whose size doesn't divide the data
+        # axis are padded with masked rows — no device idles, no gcd games.
+        par = cfg.get("parallelism") or {}
+        spatial = int(par.get("spatial", 1))
+        n_dev = jax.device_count()
+        if n_dev % spatial:
+            raise ValueError(f"spatial={spatial} does not divide {n_dev} devices")
+        data = int(par.get("data", n_dev // spatial))
+        if data * spatial > n_dev:
+            raise ValueError(
+                f"parallelism data={data} x spatial={spatial} exceeds {n_dev} devices"
+            )
+        if data * spatial < n_dev and jax.process_count() > 1:
+            raise ValueError("multi-host runs must use every device in the mesh")
+        self.mesh = make_mesh(jax.devices()[: data * spatial], data=data, model=spatial)
+        self.spatial = spatial > 1
+        # LR x world_size rule: world = PROCESS count (each process's loader
+        # adds batch_size samples to the global batch, like a DDP rank —
+        # reference ``train_vae.py:301-304``). Chips within one process share
+        # a single batch_size batch and do not scale the LR.
+        self.world = jax.process_count()
         self.patch_size = tuple(train_cfg["patch_size"])
         self.max_epochs = int(train_cfg["max_epochs"])
         self.val_interval = int(train_cfg.get("val_interval", 1))
@@ -256,12 +272,13 @@ class VAETrainer:
 
     # -- helpers --------------------------------------------------------------
     def _device_batch(self, batch):
-        arrays = {"image": batch["image"], "mask": batch["mask"]}
-        placed = shard_batch(self.mesh, arrays)
-        attrs = {
-            k: jnp.asarray(v) for k, v in batch.get("attributes", {}).items()
+        arrays = {
+            "image": batch["image"],
+            "mask": batch["mask"],
+            "attributes": {k: np.asarray(v) for k, v in batch.get("attributes", {}).items()},
         }
-        return placed["image"], placed["mask"], attrs
+        placed = place_batch(self.mesh, arrays, spatial=self.spatial)
+        return placed["image"], placed["mask"], placed["attributes"]
 
     def _adv_active(self, epoch: int) -> bool:
         return bool(self.adv_enabled and epoch > 5)
@@ -304,7 +321,7 @@ class VAETrainer:
             from .steps import make_inference_fn
 
             self._triplet_infer = make_inference_fn(self.model)
-        img = np.asarray(images[:1])
+        img = first_local_rows(images)[:1]
         recon = np.asarray(self._triplet_infer(self.state.params_g, jnp.asarray(img)))
         diff = np.abs(img - recon)
         panels = np.concatenate([
@@ -342,8 +359,8 @@ class VAETrainer:
             n_batches += 1
 
             if do_save_images:
-                img = np.asarray(images[0, :, :, 0])
-                rec = np.asarray(recon[0, :, :, 0])
+                img = first_local_rows(images)[0, :, :, 0]
+                rec = first_local_rows(recon)[0, :, :, 0]
                 diff = np.abs(img - rec)
                 # rot90 k=3 display convention (reference ``train_vae.py:616-618``)
                 epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"

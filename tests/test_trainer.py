@@ -132,6 +132,41 @@ def test_trainer_with_gan_warmup_transition(dataset, tmp_path):
     assert warm and active
 
 
+def test_trainer_parallelism_block(dataset, tmp_path):
+    """`parallelism: {data, spatial}` config block: trainer builds a dp x sp
+    mesh and trains through the spatial-sharded path (VERDICT item 8)."""
+    run_dir = tmp_path / "run_sp"
+    cfg = _config(dataset, run_dir, max_epochs=1)
+    cfg["parallelism"] = {"data": 4, "spatial": 2}
+    trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    assert trainer.spatial is True
+    result = trainer.train()
+    assert np.isfinite(result["best_val_loss"])
+
+    # Numerics match a pure-DP run (spatial partitioning is a layout, not a
+    # math change).
+    run_dir2 = tmp_path / "run_dp"
+    cfg2 = _config(dataset, run_dir2, max_epochs=1)
+    VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False).train()
+    val_sp = [
+        json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+        if "val/recon_loss" in l
+    ][-1]["val/recon_loss"]
+    val_dp = [
+        json.loads(l) for l in (run_dir2 / "metrics.jsonl").read_text().splitlines()
+        if "val/recon_loss" in l
+    ][-1]["val/recon_loss"]
+    np.testing.assert_allclose(val_sp, val_dp, rtol=1e-4)
+
+
+def test_trainer_parallelism_block_validation(dataset, tmp_path):
+    cfg = _config(dataset, tmp_path / "run_bad")
+    cfg["parallelism"] = {"spatial": 3}  # does not divide 8 devices
+    with pytest.raises(ValueError, match="does not divide"):
+        VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+
+
 def test_resolve_ar_settings():
     cfg = {
         "autoencoder_train": {"ar_vae_enabled": "false", "ar_vae_weight": "@unresolved.ref"},
