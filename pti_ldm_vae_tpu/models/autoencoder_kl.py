@@ -113,7 +113,7 @@ class SpatialAttentionBlock(nn.Module):
     norm_num_groups: int
     norm_eps: float
     num_head_channels: int | None = None
-    use_pallas: bool = False
+    use_pallas: bool = False  # Pallas flash-attention kernel (the measured win)
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -173,6 +173,7 @@ class Encoder(nn.Module):
     attention_levels: Sequence[bool]
     with_nonlocal_attn: bool
     use_pallas: bool = False
+    use_pallas_attention: bool = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -194,7 +195,7 @@ class Encoder(nn.Module):
                     h = SpatialAttentionBlock(
                         self.norm_num_groups,
                         self.norm_eps,
-                        use_pallas=self.use_pallas,
+                        use_pallas=self.use_pallas_attention,
                         compute_dtype=self.compute_dtype,
                         param_dtype=self.param_dtype,
                         name=f"down_{level}_attn_{block}",
@@ -206,7 +207,7 @@ class Encoder(nn.Module):
             h = SpatialAttentionBlock(
                 self.norm_num_groups,
                 self.norm_eps,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas_attention,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 name="mid_attn",
@@ -228,6 +229,7 @@ class Decoder(nn.Module):
     attention_levels: Sequence[bool]
     with_nonlocal_attn: bool
     use_pallas: bool = False
+    use_pallas_attention: bool = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -251,7 +253,7 @@ class Decoder(nn.Module):
             h = SpatialAttentionBlock(
                 self.norm_num_groups,
                 self.norm_eps,
-                use_pallas=self.use_pallas,
+                use_pallas=self.use_pallas_attention,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 name="mid_attn",
@@ -264,7 +266,7 @@ class Decoder(nn.Module):
                     h = SpatialAttentionBlock(
                         self.norm_num_groups,
                         self.norm_eps,
-                        use_pallas=self.use_pallas,
+                        use_pallas=self.use_pallas_attention,
                         compute_dtype=self.compute_dtype,
                         param_dtype=self.param_dtype,
                         name=f"up_{level}_attn_{block}",
@@ -303,13 +305,22 @@ class AutoencoderKL(nn.Module):
     attention_levels: Sequence[bool] | None = None
     with_encoder_nonlocal_attn: bool = True
     with_decoder_nonlocal_attn: bool = True
-    use_pallas: bool = False
+    use_pallas: bool = False  # Pallas GroupNorm+SiLU (measured SLOWER than XLA's fusion; alternate)
+    # Pallas flash attention: measured ~9% faster than XLA at the bottleneck
+    # (docs/ARCHITECTURE.md), so None resolves to True on TPU backends.
+    use_pallas_attention: bool | None = None
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self) -> None:
         if self.spatial_dims != 2:
             raise NotImplementedError("TPU build currently implements spatial_dims=2")
+        attn_pallas = (
+            jax.default_backend() == "tpu"
+            if self.use_pallas_attention is None
+            else bool(self.use_pallas_attention)
+        )
+        self._attn_pallas = attn_pallas
         n_levels = len(self.channels)
         num_res_blocks = (
             (self.num_res_blocks,) * n_levels
@@ -330,6 +341,7 @@ class AutoencoderKL(nn.Module):
             attention_levels=attention_levels,
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             use_pallas=self.use_pallas,
+            use_pallas_attention=attn_pallas,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -342,6 +354,7 @@ class AutoencoderKL(nn.Module):
             attention_levels=attention_levels,
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             use_pallas=self.use_pallas,
+            use_pallas_attention=attn_pallas,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -404,6 +417,7 @@ def autoencoder_from_config(
     config: dict,
     *,
     use_pallas: bool = False,
+    use_pallas_attention: bool | None = None,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:
     """Build an AutoencoderKL from a reference-format ``autoencoder_def`` dict
@@ -425,5 +439,6 @@ def autoencoder_from_config(
         with_encoder_nonlocal_attn=config.get("with_encoder_nonlocal_attn", True),
         with_decoder_nonlocal_attn=config.get("with_decoder_nonlocal_attn", True),
         use_pallas=use_pallas,
+        use_pallas_attention=use_pallas_attention,
         compute_dtype=compute_dtype,
     )

@@ -106,3 +106,34 @@ def test_reference_config_architecture_abstract():
     )
     assert recon.shape == (8, 256, 256, 1)
     assert z_mu.shape == z_sigma.shape == (8, 32, 32, 4)
+
+
+def test_pallas_attention_default_and_equivalence():
+    """use_pallas_attention=None resolves by backend (True on TPU, so the
+    measured-faster kernel is the production default); the Pallas path is
+    numerically equivalent to the XLA path (interpret mode on CPU)."""
+    from jax.experimental import pallas as _  # noqa: F401 (ensure available)
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+
+    kw = dict(
+        channels=(8, 16), num_res_blocks=1, norm_num_groups=4,
+        attention_levels=(False, True), latent_channels=2,
+        with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+    )
+    auto = AutoencoderKL(**kw)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 32, 32, 1)).astype(np.float32))
+    variables = auto.init(jax.random.key(0), x, jax.random.key(1))
+    # On the CPU test backend, None must resolve to the XLA path.
+    ref, *_ = auto.apply(variables, x, jax.random.key(2))
+    off, *_ = AutoencoderKL(**kw, use_pallas_attention=False).apply(
+        variables, x, jax.random.key(2)
+    )
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(off))
+
+    with pltpu.force_tpu_interpret_mode():
+        on, *_ = AutoencoderKL(**kw, use_pallas_attention=True).apply(
+            variables, x, jax.random.key(2)
+        )
+    np.testing.assert_allclose(np.asarray(on), np.asarray(ref), rtol=2e-4, atol=2e-5)
