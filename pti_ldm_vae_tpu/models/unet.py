@@ -98,7 +98,9 @@ class TransformerBlock(nn.Module):
         q = nn.Dense(c, use_bias=False, name="attn1_q", **kw)(h)
         k = nn.Dense(c, use_bias=False, name="attn1_k", **kw)(h)
         v = nn.Dense(c, use_bias=False, name="attn1_v", **kw)(h)
-        attn = multi_head_attention(q, k, v, num_heads=self.num_heads)
+        # use_pallas=None: flash kernel auto-engages on TPU at >=512 tokens
+        # (high-res latents); XLA at the tiny bottleneck seqs.
+        attn = multi_head_attention(q, k, v, num_heads=self.num_heads, use_pallas=None)
         x = x + nn.Dense(c, name="attn1_out", **kw)(attn)
 
         # cross-attention (context sequence)

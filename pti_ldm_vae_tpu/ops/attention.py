@@ -21,17 +21,25 @@ def multi_head_attention(
     v: jnp.ndarray,
     *,
     num_heads: int,
-    use_pallas: bool = False,
+    use_pallas: bool | None = False,
 ) -> jnp.ndarray:
     """Multi-head attention over [B, S, C] tensors (already projected).
 
     Scale is 1/sqrt(head_dim), softmax in f32 — matching torch
     ``scaled_dot_product_attention`` semantics used by MONAI's SABlock.
+
+    ``use_pallas=None`` auto-selects: the Pallas flash kernel on TPU when the
+    sequence is long enough to amortize kernel launch/tiling (>= 512 tokens,
+    where it measures faster than XLA — docs/ARCHITECTURE.md); XLA otherwise.
     """
     b, s, c = q.shape
     if c % num_heads:
         raise ValueError(f"hidden size {c} not divisible by num_heads {num_heads}")
     head_dim = c // num_heads
+    if use_pallas is None:
+        import jax
+
+        use_pallas = jax.default_backend() == "tpu" and s >= 512
 
     if use_pallas:
         from .pallas.flash_attention import flash_attention

@@ -69,3 +69,54 @@ def test_flash_attention_multi_block():
     with pltpu.force_tpu_interpret_mode():
         got = flash_attention(q, k, v)
     np.testing.assert_allclose(np.asarray(got), np.asarray(expected), rtol=2e-4, atol=2e-5)
+
+
+def test_conv3x3_pallas_forward_and_grads():
+    """im2col-in-VMEM conv kernel: forward + custom-vjp grads match XLA conv.
+
+    Measured SLOWER than XLA's conv emitter on v5e (lane-relayout cost of the
+    in-VMEM patch concat — docs/ARCHITECTURE.md); kept as a tested alternate,
+    like the GroupNorm kernel. Measurement, not assumption.
+    """
+    from jax.experimental.pallas import tpu as pltpu
+
+    from pti_ldm_vae_tpu.ops.pallas.conv2d import conv3x3, conv3x3_pallas_supported
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 32, 8)).astype(np.float32))
+    k = jnp.asarray(rng.normal(size=(3, 3, 8, 16)).astype(np.float32) * 0.1)
+    assert conv3x3_pallas_supported(x.shape, k.shape)
+
+    dn = jax.lax.conv_dimension_numbers(x.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+    ref = jax.lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+
+    with pltpu.force_tpu_interpret_mode():
+        out = conv3x3(x, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-4, atol=1e-5)
+
+    def loss_pallas(x, k):
+        with pltpu.force_tpu_interpret_mode():
+            return jnp.sum(jnp.sin(conv3x3(x, k)))
+
+    def loss_ref(x, k):
+        y = jax.lax.conv_general_dilated(x, k, (1, 1), [(1, 1), (1, 1)], dimension_numbers=dn)
+        return jnp.sum(jnp.sin(y))
+
+    with pltpu.force_tpu_interpret_mode():
+        gx, gk = jax.grad(loss_pallas, argnums=(0, 1))(x, k)
+    gx_r, gk_r = jax.grad(loss_ref, argnums=(0, 1))(x, k)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gx_r), rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gk), np.asarray(gk_r), rtol=1e-3, atol=1e-4)
+
+
+def test_attention_auto_gate():
+    """use_pallas=None resolves to XLA on CPU and by seq length on TPU."""
+    from pti_ldm_vae_tpu.ops.attention import multi_head_attention
+
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    # On the CPU test backend the auto gate must take the XLA path (identical
+    # results to an explicit False).
+    auto = multi_head_attention(q, q, q, num_heads=2, use_pallas=None)
+    xla = multi_head_attention(q, q, q, num_heads=2, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(auto), np.asarray(xla))
