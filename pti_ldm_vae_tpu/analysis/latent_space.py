@@ -38,6 +38,7 @@ from ..models.regressor import flatten_latent
 __all__ = [
     "extract_patient_id_from_filename",
     "compute_distance_metrics",
+    "ComposedProjection",
     "LatentSpaceAnalyzer",
     "load_image_paths",
 ]
@@ -83,6 +84,23 @@ _PALETTE = [
     "#636EFA", "#EF553B", "#00CC96", "#AB63FA", "#FFA15A",
     "#19D3F3", "#FF6692", "#B6E880", "#FF97FF", "#FECB52",
 ]
+
+
+class ComposedProjection:
+    """Fitted PCA -> UMAP pipeline whose ``transform`` takes RAW latents.
+
+    The reference fits UMAP on PCA-50 vectors and aligns the second group by
+    ``pca.transform`` then ``umap.transform`` (``analyze_interactive.py:
+    571-590``); returning the bare UMAP model (as round 1 did) made
+    ``.transform(raw_latents)`` a dimension-mismatch error.
+    """
+
+    def __init__(self, pca, umap_model):
+        self.pca = pca
+        self.umap = umap_model
+
+    def transform(self, raw_latents: np.ndarray) -> np.ndarray:
+        return self.umap.transform(self.pca.transform(raw_latents))
 
 
 class LatentSpaceAnalyzer:
@@ -135,6 +153,8 @@ class LatentSpaceAnalyzer:
         pca = PCA(n_components=n_components)
         return pca.fit_transform(vectors), pca
 
+    # (see ComposedProjection below — returned by reduce_dimensionality_umap)
+
     def _validate(self, latent_vectors, pca_components, neighbor_param, neighbor_name):
         if latent_vectors.ndim != 2:
             raise ValueError(f"Expected 2D array, got {latent_vectors.ndim}D array")
@@ -151,16 +171,23 @@ class LatentSpaceAnalyzer:
         self, latent_vectors: np.ndarray, n_components: int = 2, n_neighbors: int = 40,
         min_dist: float = 0.5, random_state: int = 42, pca_components: int = 50,
     ):
-        """PCA -> UMAP (reference ``latent_space.py:181-238``)."""
+        """PCA -> UMAP (reference ``latent_space.py:181-238``).
+
+        Returns ``(embedding, model)`` where ``model.transform`` accepts RAW
+        latents — it composes the fitted PCA with the fitted UMAP, matching
+        the reference's align-dente-via-transform flow
+        (``analyze_static.py:249-257``, slider callback ``:571-590``).
+        """
         self._validate(latent_vectors, pca_components, n_neighbors, "n_neighbors")
         if _umap is None:
             raise ImportError("Please install umap-learn: pip install umap-learn")
-        vectors_pca, _ = self._apply_pca(latent_vectors, pca_components)
+        vectors_pca, pca = self._apply_pca(latent_vectors, pca_components)
         model = _umap.UMAP(
             n_components=n_components, random_state=random_state,
             n_neighbors=n_neighbors, min_dist=min_dist,
         )
-        return model.fit_transform(vectors_pca), model
+        embedding = model.fit_transform(vectors_pca)
+        return embedding, ComposedProjection(pca, model)
 
     def reduce_dimensionality_tsne(
         self, latent_vectors: np.ndarray, n_components: int = 2, perplexity: int = 30,

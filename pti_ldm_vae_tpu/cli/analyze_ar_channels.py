@@ -19,7 +19,13 @@ from ..analysis.common import create_transforms
 from ..config import filter_comment_keys
 from ..utils.cli_common import load_config_and_model
 
-__all__ = ["main", "encode_image", "extract_attr_channels", "export_static_grid"]
+__all__ = [
+    "main",
+    "encode_image",
+    "extract_attr_channels",
+    "export_static_grid",
+    "select_channel_payload",
+]
 
 try:
     import dash  # noqa: F401
@@ -112,6 +118,33 @@ def export_static_grid(original, reconstruction, latents, attr_to_channel, outpu
     print(f"Wrote {output}")
 
 
+def select_channel_payload(latents: np.ndarray, attr_to_channel: dict[str, int],
+                           selected_channel: int | None) -> dict:
+    """Channel-dropdown callback body (dash-free, directly testable) —
+    reference ``analyze_ar_channels.py:272-299`` ``update_channel_fig``:
+    selected channel -> {title, unit-normalized heatmap data, valid flag}."""
+    if selected_channel is None:
+        return {"title": "No channel", "data": np.zeros_like(latents[0]), "valid": False}
+    if selected_channel >= latents.shape[0]:
+        return {
+            "title": f"{selected_channel} (out of range)",
+            "data": np.zeros_like(latents[0]),
+            "valid": False,
+        }
+    attr_name = next(
+        (name for name, idx in attr_to_channel.items() if idx == selected_channel), None
+    )
+    title = (
+        f"ch {selected_channel}: {attr_name} (regularized)"
+        if attr_name else f"ch {selected_channel}: unmapped"
+    )
+    return {
+        "title": title,
+        "data": _normalize_unit(latents[selected_channel]),
+        "valid": True,
+    }
+
+
 def _build_dash_app(original, reconstruction, latents, attr_to_channel):  # pragma: no cover
     import dash
     from dash import dcc, html
@@ -127,14 +160,35 @@ def _build_dash_app(original, reconstruction, latents, attr_to_channel):  # prag
 
     channel_to_attr = {v: k for k, v in attr_to_channel.items()}
     app = dash.Dash(__name__)
-    panels = [
-        dcc.Graph(figure=heatmap(_normalize_unit(original), "Original", "Gray")),
-        dcc.Graph(figure=heatmap(_normalize_unit(reconstruction), "Reconstruction", "Gray")),
+    default_channel = min(channel_to_attr) if channel_to_attr else 0
+    channel_options = [
+        {
+            "label": f"z[{c}]" + (f" — {channel_to_attr[c]} (AR)" if c in channel_to_attr else ""),
+            "value": c,
+        }
+        for c in range(latents.shape[0])
     ]
-    for c in range(latents.shape[0]):
-        label = f"z[{c}]" + (f" — {channel_to_attr[c]} (AR)" if c in channel_to_attr else "")
-        panels.append(dcc.Graph(figure=heatmap(latents[c], label)))
-    app.layout = html.Div(panels, style={"display": "flex", "flexWrap": "wrap"})
+    app.layout = html.Div([
+        html.Div([
+            dcc.Graph(figure=heatmap(_normalize_unit(original), "Original", "Gray")),
+            dcc.Graph(figure=heatmap(_normalize_unit(reconstruction), "Reconstruction", "Gray")),
+        ], style={"display": "flex"}),
+        html.Div([
+            html.H4("Latent Channel"),
+            dcc.Dropdown(id="channel-dropdown", options=channel_options,
+                         value=default_channel, clearable=False),
+            dcc.Graph(id="channel-fig"),
+        ]),
+    ])
+
+    @app.callback(
+        dash.Output("channel-fig", "figure"),
+        dash.Input("channel-dropdown", "value"),
+    )
+    def update_channel_fig(selected_channel):
+        payload = select_channel_payload(latents, attr_to_channel, selected_channel)
+        return heatmap(payload["data"], payload["title"])
+
     return app
 
 

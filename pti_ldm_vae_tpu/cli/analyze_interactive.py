@@ -30,7 +30,7 @@ from ..analysis.common import (
     setup_device_and_output,
 )
 
-__all__ = ["main", "export_static"]
+__all__ = ["main", "export_static", "recompute_projection", "slider_recompute_payload"]
 
 try:
     import dash  # noqa: F401
@@ -83,20 +83,37 @@ def _compute_groups(args):
     return analyzer, output_dir, groups
 
 
-def _project(analyzer, groups, args):
+def recompute_projection(
+    analyzer,
+    groups,
+    method: str,
+    *,
+    n_neighbors: int = 40,
+    min_dist: float = 0.5,
+    perplexity: int = 30,
+    seed: int = 42,
+):
+    """(Re)fit the 2-D projection with explicit hyperparameters.
+
+    Shared by the initial render AND the live-recompute sliders (reference
+    ``analyze_interactive.py:559-636``): UMAP fits on the first group's
+    PCA-50 latents and aligns the others via the composed PCA->UMAP
+    ``transform``; t-SNE refits jointly and splits. Mutates and returns
+    ``groups`` with fresh ``projection`` entries.
+    """
     combined = np.concatenate([g["latents"] for g in groups])
     pca_components = min(len(combined), 50)
-    if args.method == "umap":
+    if method == "umap":
         proj_first, model = analyzer.reduce_dimensionality_umap(
-            groups[0]["latents"], n_neighbors=args.n_neighbors, min_dist=args.min_dist,
-            random_state=args.seed, pca_components=min(len(groups[0]["latents"]), 50),
+            groups[0]["latents"], n_neighbors=n_neighbors, min_dist=min_dist,
+            random_state=seed, pca_components=min(len(groups[0]["latents"]), 50),
         )
         groups[0]["projection"] = proj_first
         for g in groups[1:]:
             g["projection"] = model.transform(g["latents"])
     else:
         joint = analyzer.reduce_dimensionality_tsne(
-            combined, perplexity=args.perplexity, random_state=args.seed,
+            combined, perplexity=perplexity, random_state=seed,
             pca_components=pca_components,
         )
         start = 0
@@ -104,6 +121,32 @@ def _project(analyzer, groups, args):
             g["projection"] = joint[start : start + len(g["latents"])]
             start += len(g["latents"])
     return groups
+
+
+def slider_recompute_payload(analyzer, groups, method: str, **hyper) -> dict:
+    """The live-recompute callback body (dash-free, directly testable):
+    refit with the slider values, return a JSON-able projection payload."""
+    groups = recompute_projection(analyzer, groups, method, **hyper)
+    return {
+        "method": method,
+        "hyper": {k: v for k, v in hyper.items()},
+        "groups": [
+            {
+                "name": g["name"],
+                "projection": np.asarray(g["projection"]).tolist(),
+                "paths": list(g["paths"]),
+            }
+            for g in groups
+        ],
+    }
+
+
+def _project(analyzer, groups, args):
+    return recompute_projection(
+        analyzer, groups, args.method,
+        n_neighbors=args.n_neighbors, min_dist=args.min_dist,
+        perplexity=args.perplexity, seed=args.seed,
+    )
 
 
 def export_static(analyzer, output_dir: Path, groups, args) -> Path:
@@ -143,21 +186,68 @@ def _build_dash_app(analyzer, groups, args):  # pragma: no cover - needs dash
     from ..analysis.latent_distance import latent_distance
 
     app = dash.Dash(__name__)
-    fig = go.Figure()
-    for g in groups:
-        fig.add_trace(go.Scatter(
-            x=g["projection"][:, 0], y=g["projection"][:, 1], mode="markers",
-            name=g["name"], customdata=g["paths"],
-            marker={"symbol": "circle" if g["name"] == "dente" else "circle-open", "size": 9},
-        ))
-    fig.update_layout(title=f"{args.method.upper()} projection", height=700)
+
+    def build_figure(gs):
+        fig = go.Figure()
+        for g in gs:
+            proj = np.asarray(g["projection"])
+            fig.add_trace(go.Scatter(
+                x=proj[:, 0], y=proj[:, 1], mode="markers",
+                name=g["name"], customdata=g["paths"],
+                marker={"symbol": "circle" if g["name"] == "dente" else "circle-open", "size": 9},
+            ))
+        fig.update_layout(title=f"{args.method.upper()} projection", height=700)
+        return fig
+
+    # Live-recompute sliders (reference ``analyze_interactive.py:559-636``).
+    if args.method == "umap":
+        sliders = html.Div([
+            html.Label("n_neighbors"),
+            dcc.Slider(id="n-neighbors-slider", min=5, max=100, step=5,
+                       value=args.n_neighbors),
+            html.Label("min_dist"),
+            dcc.Slider(id="min-dist-slider", min=0.0, max=1.0, step=0.05,
+                       value=args.min_dist),
+        ])
+    else:
+        sliders = html.Div([
+            html.Label("perplexity"),
+            dcc.Slider(id="perplexity-slider", min=5, max=50, step=5,
+                       value=args.perplexity),
+        ])
 
     app.layout = html.Div([
-        dcc.Graph(id="scatter", figure=fig),
+        sliders,
+        dcc.Graph(id="scatter", figure=build_figure(groups)),
         html.Div(id="image-panel"),
         html.Div(id="distance-panel"),
         dcc.Store(id="selected", data=[]),
     ])
+
+    if args.method == "umap":
+        @app.callback(
+            dash.Output("scatter", "figure"),
+            dash.Input("n-neighbors-slider", "value"),
+            dash.Input("min-dist-slider", "value"),
+        )
+        def on_umap_sliders(n_neighbors, min_dist):
+            print(f"Recalculating UMAP: n_neighbors={n_neighbors} min_dist={min_dist}")
+            payload = slider_recompute_payload(
+                analyzer, groups, "umap",
+                n_neighbors=int(n_neighbors), min_dist=float(min_dist), seed=args.seed,
+            )
+            return build_figure(payload["groups"])
+    else:
+        @app.callback(
+            dash.Output("scatter", "figure"),
+            dash.Input("perplexity-slider", "value"),
+        )
+        def on_perplexity_slider(perplexity):
+            print(f"Recalculating t-SNE: perplexity={perplexity}")
+            payload = slider_recompute_payload(
+                analyzer, groups, "tsne", perplexity=int(perplexity), seed=args.seed,
+            )
+            return build_figure(payload["groups"])
 
     @app.callback(
         dash.Output("image-panel", "children"),

@@ -98,3 +98,91 @@ def test_analyze_ar_channels_export(analysis_ws):
         "--export", "--output", str(out),
     ])
     assert out.exists()
+
+
+def test_interactive_slider_recompute_callback(analysis_ws):
+    """The live-recompute slider callback body (reference
+    ``analyze_interactive.py:559-636``): refits with slider values, returns a
+    fresh projection payload; different perplexity -> different projection."""
+    import argparse
+
+    from pti_ldm_vae_tpu.cli.analyze_interactive import (
+        _compute_groups,
+        recompute_projection,
+        slider_recompute_payload,
+    )
+
+    args = argparse.Namespace(
+        vae_weights=str(analysis_ws / "vae_ckpt"),
+        config_file=str(analysis_ws / "config.json"),
+        folder_edente=str(analysis_ws / "edente"),
+        folder_dente=None,
+        max_images=55, patch_size=[16, 16], seed=42,
+        output_dir=str(analysis_ws / "slider_out"),
+        cache_dir=str(analysis_ws / "cache"),
+    )
+    analyzer, _, groups = _compute_groups(args)
+    groups = recompute_projection(analyzer, groups, "tsne", perplexity=8, seed=42)
+    base = np.asarray(groups[0]["projection"]).copy()
+    assert base.shape == (55, 2)
+
+    payload = slider_recompute_payload(analyzer, groups, "tsne", perplexity=20, seed=42)
+    assert payload["method"] == "tsne" and payload["hyper"]["perplexity"] == 20
+    new = np.asarray(payload["groups"][0]["projection"])
+    assert new.shape == base.shape
+    assert not np.allclose(new, base)  # the slider actually refit
+
+
+def test_umap_model_transform_accepts_raw_latents(analysis_ws, monkeypatch):
+    """reduce_dimensionality_umap must return a model whose .transform takes
+    RAW latents (PCA composed in) — the reference aligns the dente group that
+    way. A strict fake UMAP asserts it only ever sees PCA-50 vectors."""
+    from pti_ldm_vae_tpu.analysis import latent_space as ls
+
+    class FakeUMAP:
+        def __init__(self, n_components=2, random_state=42, n_neighbors=40, min_dist=0.5):
+            self.n_components = n_components
+
+        def fit_transform(self, v):
+            assert v.shape[1] == 50, f"UMAP must see PCA-50 vectors, got {v.shape}"
+            self._dim = v.shape[1]
+            return v[:, :2]
+
+        def transform(self, v):
+            assert v.shape[1] == self._dim, f"transform got raw latents: {v.shape}"
+            return v[:, :2]
+
+    monkeypatch.setattr(ls, "_umap", type("M", (), {"UMAP": FakeUMAP}))
+    rng = np.random.default_rng(0)
+    analyzer = ls.LatentSpaceAnalyzer.__new__(ls.LatentSpaceAnalyzer)
+    latents_a = rng.normal(size=(60, 128)).astype(np.float32)
+    latents_b = rng.normal(size=(20, 128)).astype(np.float32)
+    emb, model = ls.LatentSpaceAnalyzer.reduce_dimensionality_umap(
+        analyzer, latents_a, pca_components=50
+    )
+    assert emb.shape == (60, 2)
+    aligned = model.transform(latents_b)  # raw 128-dim in, composed PCA inside
+    assert aligned.shape == (20, 2)
+
+
+def test_ar_channel_dropdown_callback(analysis_ws):
+    """Channel-dropdown callback body (reference ``analyze_ar_channels.py:
+    272-299``): valid channel -> normalized heatmap + AR label; out-of-range
+    and None -> explicit invalid payloads."""
+    from pti_ldm_vae_tpu.cli.analyze_ar_channels import select_channel_payload
+
+    latents = np.stack([np.full((4, 4), 2.0), np.arange(16, dtype=np.float32).reshape(4, 4)])
+    mapping = {"height_0": 0}
+
+    reg = select_channel_payload(latents, mapping, 0)
+    assert reg["valid"] and reg["title"] == "ch 0: height_0 (regularized)"
+    assert np.all(reg["data"] == 0)  # constant map normalizes to zeros
+
+    unmapped = select_channel_payload(latents, mapping, 1)
+    assert unmapped["valid"] and unmapped["title"] == "ch 1: unmapped"
+    assert unmapped["data"].min() == 0.0 and unmapped["data"].max() == 1.0
+
+    oob = select_channel_payload(latents, mapping, 7)
+    assert not oob["valid"] and "out of range" in oob["title"]
+    none = select_channel_payload(latents, mapping, None)
+    assert not none["valid"] and none["title"] == "No channel"
