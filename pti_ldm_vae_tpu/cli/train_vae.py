@@ -42,6 +42,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--no-wandb", action="store_true")
     parser.add_argument("--f32", action="store_true",
                         help="Disable bf16 compute (parity runs)")
+    parser.add_argument("--profile-port", type=int, default=None,
+                        help="Start a jax.profiler server on this port "
+                             "(attach with TensorBoard/xprof)")
+    parser.add_argument("--trace-at-step", type=int, default=None,
+                        help="Capture one profiler trace around this global "
+                             "step into <run_dir>/traces")
     return parser.parse_args(argv)
 
 
@@ -77,6 +83,8 @@ def main(argv=None) -> dict:
         subset_size=args.subset_size,
         mixed_precision=False if args.f32 else None,
         use_wandb=False if args.no_wandb else None,
+        profile_port=args.profile_port,
+        trace_at_step=args.trace_at_step,
     )
     return trainer.train()
 

@@ -81,10 +81,22 @@ class VAETrainer:
         mixed_precision: bool | None = None,
         log_every: int = 1,
         use_wandb: bool | None = None,
+        profile_port: int | None = None,
+        trace_at_step: int | None = None,
     ):
         self.cfg = cfg
         self.seed = seed
         self.rank = jax.process_index()
+        # First-class perf tooling (SURVEY.md §5.1 — absent in the reference):
+        # a live profiler endpoint for TensorBoard/xprof attachment, and a
+        # one-shot trace capture around a chosen global step.
+        self.trace_at_step = trace_at_step
+        if profile_port:
+            from ..utils.profiling import start_profiler_server
+
+            start_profiler_server(profile_port)
+            if self.rank == 0:
+                print(f"[INFO] jax.profiler server on port {profile_port}")
 
         train_cfg = cfg["autoencoder_train"]
         self.batch_size = int(train_cfg["batch_size"])
@@ -294,9 +306,21 @@ class VAETrainer:
         for step, batch in enumerate(self.train_loader):
             images, mask, attrs = self._device_batch(batch)
             self.run_key, step_key = jax.random.split(self.run_key)
-            self.state, metrics = step_fn(
-                self.state, images, mask, attrs, self.lpips_params, step_key
-            )
+            if self.trace_at_step is not None and self.total_step + 1 == self.trace_at_step:
+                from ..utils.profiling import trace_if
+
+                with trace_if(str(self.run_dir / "traces")):
+                    self.state, metrics = step_fn(
+                        self.state, images, mask, attrs, self.lpips_params, step_key
+                    )
+                    jax.block_until_ready(self.state.params_g)
+                if self.rank == 0:
+                    print(f"[INFO] profiler trace captured at step {self.total_step + 1} "
+                          f"-> {self.run_dir / 'traces'}")
+            else:
+                self.state, metrics = step_fn(
+                    self.state, images, mask, attrs, self.lpips_params, step_key
+                )
             self.total_step += 1
             if self.rank == 0 and (step % self.log_every == 0):
                 buffered.append((self.total_step, metrics))

@@ -67,12 +67,20 @@ def _config(dataset_dir, run_dir, **train_overrides):
     }
 
 
-def test_trainer_end_to_end(dataset, tmp_path):
-    run_dir = tmp_path / "run"
+@pytest.fixture(scope="module")
+def e2e_run(dataset, tmp_path_factory):
+    """One shared 2-epoch training run (trace capture at step 2 included)."""
+    run_dir = tmp_path_factory.mktemp("e2e") / "run"
     trainer = VAETrainer(
         _config(dataset, run_dir), seed=42, num_workers=2, mixed_precision=False,
+        trace_at_step=2,
     )
     result = trainer.train()
+    return run_dir, trainer, result
+
+
+def test_trainer_end_to_end(e2e_run):
+    run_dir, trainer, result = e2e_run
     assert result["best_val_loss"] < 100.0
     assert result["total_step"] == 2 * len(trainer.train_loader)
 
@@ -90,6 +98,65 @@ def test_trainer_end_to_end(dataset, tmp_path):
     names = os.listdir(run_dir / "trained_weights")
     assert "autoencoder_last" in names
     assert any(n.startswith("checkpoint_epoch") for n in names)
+
+
+def test_metrics_contract(e2e_run):
+    """Recorded-payload contract test pinning docs/METRICS.md to reality
+    (reference WANDB_METRICS.md:1-29): exact key set per metric axis."""
+    run_dir, trainer, result = e2e_run
+    rows = [
+        json.loads(line)
+        for line in (run_dir / "metrics.jsonl").read_text().splitlines()
+    ]
+
+    train_keys = {
+        "train/recon_loss", "train/kl_loss", "train/perceptual_loss",
+        "train/adv_gen_loss", "train/adv_disc_loss", "train/loss_total",
+        "train/step",
+    }
+    train_rows = [r for r in rows if "train/loss_total" in r]
+    assert len(train_rows) == result["total_step"]
+    for r in train_rows:
+        assert set(r) - {"_time", "_step"} == train_keys, sorted(r)
+
+    val_keys = {
+        "val/recon_loss", "val/kl_loss", "val/perceptual_loss",
+        "val/adv_gen_loss", "val/adv_disc_loss", "val/loss_total", "epoch",
+    }
+    val_rows = [r for r in rows if "val/loss_total" in r]
+    assert len(val_rows) == 2  # one per epoch at val_interval=1
+    for r in val_rows:
+        assert set(r) - {"_time", "_step"} == val_keys, sorted(r)
+
+    # train/triplets panel once per epoch (reference train_vae.py:479-493)
+    triplet_rows = [r for r in rows if "train/triplets/count" in r]
+    assert len(triplet_rows) == 2 and all(r["train/triplets/count"] == 1 for r in triplet_rows)
+
+    epoch_rows = [r for r in rows if "time_per_epoch" in r]
+    assert len(epoch_rows) == 2
+    for r in epoch_rows:
+        assert set(r) - {"_time"} == {"time_per_epoch", "epoch"}
+
+    # run config captured durably (reference wandb.init config payload,
+    # train_vae.py:145-166) + the perceptual-pretrained flag.
+    run_config = json.loads((run_dir / "run_config.json").read_text())
+    assert {
+        "architecture", "spatial_dims", "latent_channels", "channels",
+        "num_res_blocks", "batch_size", "lr", "max_epochs", "kl_weight",
+        "perceptual_weight", "data_source", "perceptual_pretrained",
+    } <= set(run_config)
+    assert run_config["perceptual_pretrained"] is False  # no weights in CI
+
+
+def test_trace_capture(e2e_run):
+    """--trace-at-step writes a profiler trace under <run_dir>/traces."""
+    run_dir, trainer, result = e2e_run
+    trace_root = run_dir / "traces"
+    assert trace_root.exists()
+    captured = list(trace_root.rglob("*.trace.json.gz")) + list(
+        trace_root.rglob("*.xplane.pb")
+    )
+    assert captured, f"no trace artifacts under {trace_root}"
 
 
 def test_trainer_overwrite_protection(dataset, tmp_path):
