@@ -18,9 +18,19 @@ if "xla_force_host_platform_device_count" not in _flags:
         _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 
+# Persistent compilation cache: the suite is dominated by XLA compiles of
+# small repeated programs (~20 min cold). Cached executables cut repeat runs
+# to minutes. Env var (not just jax.config) so the multihost subprocess
+# workers inherit it.
+_cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", os.environ["JAX_COMPILATION_CACHE_DIR"])
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 # Make the repo root importable regardless of pytest rootdir resolution.
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))

@@ -162,17 +162,19 @@ def test_trace_capture(e2e_run):
 def test_trainer_overwrite_protection(dataset, tmp_path):
     run_dir = tmp_path / "run2"
     cfg = _config(dataset, run_dir)
-    VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False).train()
+    # Constructing a trainer already populates the run dir (split json) —
+    # no training needed to arm the protection.
+    VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
     with pytest.raises(ValueError, match="already exists"):
         VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
 
 
 def test_trainer_resume(dataset, tmp_path):
     run_dir = tmp_path / "run3"
-    cfg = _config(dataset, run_dir)
+    cfg = _config(dataset, run_dir, max_epochs=1)
     t1 = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
     r1 = t1.train()
-    cfg2 = _config(dataset, run_dir, max_epochs=3)
+    cfg2 = _config(dataset, run_dir, max_epochs=2)
     cfg2["resume_ckpt"] = True
     t2 = VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False)
     assert t2.start_epoch >= 1
