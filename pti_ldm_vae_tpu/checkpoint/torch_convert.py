@@ -37,6 +37,7 @@ __all__ = [
     "disc_monai_layout",
     "disc_from_torch_state_dict",
     "disc_to_torch_state_dict",
+    "optimizer_tree_from_torch",
 ]
 
 
@@ -244,6 +245,49 @@ def disc_to_torch_state_dict(variables: dict, num_layers_d: int = 3) -> dict[str
         if has_bias:
             sd[f"{monai_prefix}.bias"] = np.asarray(params[flax_name]["bias"])
     return sd
+
+
+def optimizer_tree_from_torch(
+    opt_state_dict: dict,
+    model_sd: dict,
+    *,
+    config: dict | None = None,
+    kind: str = "autoencoder",
+    num_layers_d: int = 3,
+) -> tuple[dict, dict, int]:
+    """torch.optim.Adam state dict -> (mu_tree, nu_tree, count) matching the
+    flax param tree of :func:`from_torch_state_dict` / the discriminator
+    converter.
+
+    torch Adam indexes parameters by their position in ``model.parameters()``,
+    which equals the model state dict's key order (these models carry no
+    buffers — MONAI_NOTES.md §2-3). ``exp_avg``/``exp_avg_sq`` have the
+    parameter's shape, so each converts with the parameter's own transpose
+    rules by routing a name-keyed pseudo state dict through the weight
+    converter.
+    """
+    names = list(model_sd)
+    state = opt_state_dict.get("state", {})
+    mu_sd: dict[str, np.ndarray] = {}
+    nu_sd: dict[str, np.ndarray] = {}
+    count = 0
+    for i, name in enumerate(names):
+        entry = state.get(i, state.get(str(i)))
+        if entry is None:
+            # a parameter that never received gradients has no Adam slots
+            mu_sd[name] = np.zeros_like(np.asarray(model_sd[name]))
+            nu_sd[name] = np.zeros_like(np.asarray(model_sd[name]))
+        else:
+            mu_sd[name] = np.asarray(entry["exp_avg"])
+            nu_sd[name] = np.asarray(entry["exp_avg_sq"])
+            count = max(count, int(entry["step"]))
+    if kind == "autoencoder":
+        mu = from_torch_state_dict(mu_sd, config)
+        nu = from_torch_state_dict(nu_sd, config)
+    else:
+        mu = disc_from_torch_state_dict(mu_sd, num_layers_d)
+        nu = disc_from_torch_state_dict(nu_sd, num_layers_d)
+    return mu, nu, count
 
 
 def to_torch_state_dict(variables: dict, config: dict) -> dict[str, np.ndarray]:

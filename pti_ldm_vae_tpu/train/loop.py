@@ -264,10 +264,30 @@ class VAETrainer:
         self.best_val_loss = 100.0
         self.total_step = 0
         if self.resume:
-            restored = self.ckpt.restore(self.state)
-            if restored is None:
-                raise FileNotFoundError(f"No checkpoint to resume in {self.model_dir}")
-            self.state, meta = restored
+            import os
+
+            ckpt_path = str(cfg.get("checkpoint_dir") or "")
+            if ckpt_path and os.path.isfile(ckpt_path):
+                # Reference full checkpoint (torch .pth): weights + Adam
+                # moments + counters convert into this framework's state, so
+                # a run started under the torch reference continues here.
+                from ..checkpoint.reference_resume import load_reference_checkpoint
+
+                self.state, meta = load_reference_checkpoint(
+                    ckpt_path,
+                    cfg["autoencoder_def"],
+                    lr=float(train_cfg["lr"]),
+                    world_size=self.world,
+                    params_d_template=params_d,
+                )
+                if self.rank == 0:
+                    print(f"[INFO] Resumed from reference checkpoint {ckpt_path} "
+                          f"(epoch {meta['epoch']})")
+            else:
+                restored = self.ckpt.restore(self.state)
+                if restored is None:
+                    raise FileNotFoundError(f"No checkpoint to resume in {self.model_dir}")
+                self.state, meta = restored
             self.start_epoch = meta["epoch"] + 1
             self.best_val_loss = meta["best_val_loss"]
             self.total_step = meta["total_step"]

@@ -123,3 +123,100 @@ def test_checkpoint_manager_best_last(tmp_path):
         np.asarray(jax.tree.leaves(new_state.params_g)[0]),
         np.asarray(jax.tree.leaves(state.params_g)[0]),
     )
+
+
+def _monai_order(keys):
+    """Real MONAI AutoencoderKL registration order: encoder.*, decoder.*,
+    quant_conv_mu, quant_conv_log_sigma, post_quant_conv (MONAI_NOTES.md §2)."""
+    enc = [k for k in keys if k.startswith("encoder.")]
+    dec = [k for k in keys if k.startswith("decoder.")]
+    tail_order = ("quant_conv_mu", "quant_conv_log_sigma", "post_quant_conv")
+    tail = sorted(
+        (k for k in keys if not k.startswith(("encoder.", "decoder."))),
+        key=lambda k: next(i for i, p in enumerate(tail_order) if k.startswith(p)),
+    )
+    return enc + dec + tail
+
+
+def test_reference_full_checkpoint_resume(tmp_path):
+    """A reference checkpoint_epoch{N}.pth (weights + Adam moments + counters,
+    train_vae.py:740-765) converts into a full GanTrainState: params round-trip
+    and each Adam slot lands on ITS parameter (moments derived from the weights
+    so any index misalignment mismatches)."""
+    import torch
+
+    from pti_ldm_vae_tpu.checkpoint.reference_resume import load_reference_checkpoint
+    from pti_ldm_vae_tpu.checkpoint.torch_convert import disc_to_torch_state_dict
+    from pti_ldm_vae_tpu.models.discriminator import PatchDiscriminator
+
+    model, variables = _init_variables()
+    sd_unordered = to_torch_state_dict(variables, CFG)
+    model_sd = {k: torch.from_numpy(np.ascontiguousarray(sd_unordered[k]))
+                for k in _monai_order(sd_unordered)}
+
+    disc = PatchDiscriminator(channels=8, num_layers_d=3)
+    disc_vars = disc.init(jax.random.key(5), jnp.zeros((1, 64, 64, 1)))
+    disc_sd_np = disc_to_torch_state_dict(disc_vars)
+    disc_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in disc_sd_np.items()}
+
+    def adam_sd(sd, step):
+        return {
+            "state": {
+                i: {
+                    "step": torch.tensor(float(step)),
+                    "exp_avg": sd[name] * 3.0,
+                    "exp_avg_sq": sd[name].abs() * 5.0,
+                }
+                for i, name in enumerate(sd)
+            },
+            "param_groups": [{"params": list(range(len(sd)))}],
+        }
+
+    path = tmp_path / "checkpoint_epoch7.pth"
+    torch.save(
+        {
+            "epoch": 7,
+            "autoencoder_state_dict": model_sd,
+            "discriminator_state_dict": disc_sd,
+            "optimizer_g_state_dict": adam_sd(model_sd, 42),
+            "optimizer_d_state_dict": adam_sd(disc_sd, 17),
+            "best_val_loss": 0.123,
+            "total_step": 999,
+        },
+        path,
+    )
+
+    state, meta = load_reference_checkpoint(
+        str(path), CFG, lr=1e-4, num_layers_d=3,
+    )
+    assert meta == {"epoch": 7, "best_val_loss": 0.123, "total_step": 999}
+
+    # params round-trip exactly
+    for orig, loaded in zip(jax.tree.leaves(variables), jax.tree.leaves(state.params_g)):
+        np.testing.assert_array_equal(np.asarray(orig), np.asarray(loaded))
+
+    # Adam slots land on their parameters: mu == 3 * param everywhere
+    adam_g = state.opt_state_g[0]
+    assert int(adam_g.count) == 42
+    for p, m, v in zip(
+        jax.tree.leaves(state.params_g),
+        jax.tree.leaves(adam_g.mu),
+        jax.tree.leaves(adam_g.nu),
+    ):
+        np.testing.assert_allclose(np.asarray(m), 3.0 * np.asarray(p), rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(v), 5.0 * np.abs(np.asarray(p)), rtol=1e-6)
+
+    adam_d = state.opt_state_d[0]
+    assert int(adam_d.count) == 17
+    for p, m in zip(jax.tree.leaves(state.params_d), jax.tree.leaves(adam_d.mu)):
+        np.testing.assert_allclose(np.asarray(m), 3.0 * np.asarray(p), rtol=1e-6)
+
+    # the resumed state trains
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+
+    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=0.0,
+                      adv_weight=0.5, use_perceptual=False)
+    step = make_train_step(model, disc, lcfg, adv_active=True, donate=False)
+    x = jnp.asarray(np.random.default_rng(0).uniform(0.1, 1, (2, 64, 64, 1)).astype(np.float32))
+    new_state, metrics = step(state, x, jnp.ones((2,)), {}, {}, jax.random.key(0))
+    assert np.isfinite(float(metrics["train/loss_total"]))

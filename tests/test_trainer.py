@@ -244,3 +244,52 @@ def test_resolve_ar_settings():
     ar = resolve_ar_settings(cfg)
     assert ar["enabled"] is True
     assert ar["gamma"] == 0.7
+
+
+def test_trainer_resume_from_reference_checkpoint(dataset, tmp_path):
+    """`resume_ckpt: true` + `checkpoint_dir: <file>.pth` resumes from a
+    reference full checkpoint (train_vae.py:309-339) — weights, Adam moments,
+    and counters all restored."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from pti_ldm_vae_tpu.checkpoint.torch_convert import to_torch_state_dict
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+
+    run_dir = tmp_path / "run_ref_resume"
+    cfg = _config(dataset, run_dir, max_epochs=4)
+    arch = cfg["autoencoder_def"]
+
+    model = autoencoder_from_config(arch)
+    variables = model.init(jax.random.key(3), jnp.zeros((1, 32, 32, 1)), jax.random.key(4))
+    sd = to_torch_state_dict(variables, arch)
+    model_sd = {k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}
+    opt_sd = {
+        "state": {
+            i: {"step": torch.tensor(50.0),
+                "exp_avg": model_sd[k] * 0.0,
+                "exp_avg_sq": model_sd[k].abs() * 0.0}
+            for i, k in enumerate(model_sd)
+        },
+        "param_groups": [{"params": list(range(len(model_sd)))}],
+    }
+    ckpt_path = tmp_path / "checkpoint_epoch2.pth"
+    torch.save({
+        "epoch": 2,
+        "autoencoder_state_dict": model_sd,
+        "discriminator_state_dict": None,
+        "optimizer_g_state_dict": opt_sd,
+        "optimizer_d_state_dict": None,
+        "best_val_loss": 0.5,
+        "total_step": 77,
+    }, ckpt_path)
+
+    cfg["resume_ckpt"] = True
+    cfg["checkpoint_dir"] = str(ckpt_path)
+    trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    assert trainer.start_epoch == 3
+    assert trainer.best_val_loss == 0.5
+    assert trainer.total_step == 77
+    result = trainer.train()  # epoch 3 only
+    assert result["total_step"] > 77
