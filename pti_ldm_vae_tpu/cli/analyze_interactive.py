@@ -52,6 +52,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--min-dist", type=float, default=0.5)
     parser.add_argument("--perplexity", type=int, default=30)
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--color-by-patient", action="store_true",
+                        help="Color scatter points by patient id (reference flag)")
     parser.add_argument("--subtitle", type=str, default=None)
     parser.add_argument("--port", type=int, default=8050)
     parser.add_argument("--debug", action="store_true")
@@ -155,7 +157,8 @@ def export_static(analyzer, output_dir: Path, groups, args) -> Path:
     plot_path = output_dir / f"{args.method}_projection.png"
     analyzer.plot_projection_2d(
         projections, str(plot_path), title=f"{args.method.upper()} projection",
-        color_by_patient=True, image_paths_list=[g["paths"] for g in groups],
+        color_by_patient=getattr(args, "color_by_patient", True),
+        image_paths_list=[g["paths"] for g in groups],
     )
     data_path = output_dir / "projection_data.json"
     payload = {

@@ -37,6 +37,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     add_shared_io_args(
         parser, output_help="Output directory for metrics (default: evals/<config_name>/)"
     )
+    parser.add_argument("--f32", action="store_true",
+                        help="Exact f32 numerics (HIGHEST matmul precision, "
+                             "XLA attention) — required for reference-parity "
+                             "measurements on TPU")
     return parser.parse_args(argv)
 
 
@@ -96,7 +100,9 @@ def evaluate(model, variables, dataloader, *, recon_kind: str,
 def main(argv=None) -> None:
     args = parse_args(argv)
     init_device_and_seed(args.seed)
-    config, (model, variables) = load_config_and_model(args.config_file, args.checkpoint)
+    config, (model, variables) = load_config_and_model(
+        args.config_file, args.checkpoint, exact=args.f32
+    )
     output_dir = resolve_eval_output_dir(args.config_file, args.output_dir)
     dataloader, image_paths = build_inference_dataloader(
         input_dir=args.input_dir, config=config, batch_size=args.batch_size,

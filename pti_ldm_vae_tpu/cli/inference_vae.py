@@ -33,6 +33,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     add_shared_io_args(
         parser, output_help="Output directory (default: inference_<checkpoint_name>)"
     )
+    parser.add_argument("--f32", action="store_true",
+                        help="Exact f32 numerics (HIGHEST matmul precision, "
+                             "XLA attention) — required for reference-parity "
+                             "measurements on TPU")
     return parser.parse_args(argv)
 
 
@@ -66,7 +70,9 @@ def run_inference(model, variables, dataloader, out_tif: Path, out_png: Path) ->
 def main(argv=None) -> None:
     args = parse_args(argv)
     init_device_and_seed(args.seed)
-    config, (model, variables) = load_config_and_model(args.config_file, args.checkpoint)
+    config, (model, variables) = load_config_and_model(
+        args.config_file, args.checkpoint, exact=args.f32
+    )
     print(f"[INFO] Loaded config from {args.config_file}")
 
     output_dir, out_tif, out_png = resolve_inference_output_dirs(args.checkpoint, args.output_dir)

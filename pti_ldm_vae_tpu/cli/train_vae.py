@@ -75,6 +75,12 @@ def main(argv=None) -> dict:
     if args.lr:
         cfg["autoencoder_train"]["lr"] = args.lr
 
+    if args.f32:
+        # Exact f32: TPU matmuls default to bf16 precision otherwise.
+        from ..utils.cli_common import enable_parity_numerics
+
+        enable_parity_numerics()
+
     trainer = VAETrainer(
         cfg,
         seed=args.seed,
@@ -85,6 +91,7 @@ def main(argv=None) -> dict:
         use_wandb=False if args.no_wandb else None,
         profile_port=args.profile_port,
         trace_at_step=args.trace_at_step,
+        use_pallas_attention=False if args.f32 else None,
     )
     return trainer.train()
 

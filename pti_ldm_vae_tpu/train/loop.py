@@ -83,6 +83,7 @@ class VAETrainer:
         use_wandb: bool | None = None,
         profile_port: int | None = None,
         trace_at_step: int | None = None,
+        use_pallas_attention: bool | None = None,
     ):
         self.cfg = cfg
         self.seed = seed
@@ -128,6 +129,9 @@ class VAETrainer:
         self.max_epochs = int(train_cfg["max_epochs"])
         self.val_interval = int(train_cfg.get("val_interval", 1))
         self.adv_enabled = resolve_bool(train_cfg.get("adv_enabled", True))
+        # Reference hardcodes the adversarial warm-up at epoch > 5
+        # (train_vae.py:399,449); configurable here with that default.
+        self.adv_warmup_epochs = int(train_cfg.get("adv_warmup_epochs", 5))
         self.run_dir = Path(cfg["run_dir"])
         self.model_dir = self.run_dir / "trained_weights"
         self.resume = resolve_bool(cfg.get("resume_ckpt", False)) if resume is None else resume
@@ -183,7 +187,8 @@ class VAETrainer:
 
         # ---- models -------------------------------------------------------
         self.model = autoencoder_from_config(
-            cfg["autoencoder_def"], compute_dtype=compute_dtype
+            cfg["autoencoder_def"], compute_dtype=compute_dtype,
+            use_pallas_attention=use_pallas_attention,
         )
         init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
         dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)
@@ -313,7 +318,7 @@ class VAETrainer:
         return placed["image"], placed["mask"], placed["attributes"]
 
     def _adv_active(self, epoch: int) -> bool:
-        return bool(self.adv_enabled and epoch > 5)
+        return bool(self.adv_enabled and epoch > self.adv_warmup_epochs)
 
     # -- epochs -----------------------------------------------------------------
     def train_epoch(self, epoch: int) -> None:

@@ -50,14 +50,36 @@ def init_device_and_seed(seed: int | None):
     return set_determinism(seed)
 
 
-def load_config_and_model(config_file: str, checkpoint_path: str, *, compute_dtype=None):
-    """Reference ``cli_common.py:57-70``: returns (config_namespace, (model, params))."""
+def enable_parity_numerics() -> None:
+    """Exact-f32 numerics for parity runs against the torch reference.
+
+    TPUs execute f32 matmuls/convs at bf16 precision under the DEFAULT
+    policy (measured ~2.7e-2 recon divergence); forcing HIGHEST restores true
+    f32 (~5e-6). Pair with ``exact=True`` model loading.
+    """
+    jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def load_config_and_model(
+    config_file: str, checkpoint_path: str, *, compute_dtype=None, exact: bool = False
+):
+    """Reference ``cli_common.py:57-70``: returns (config_namespace, (model, params)).
+
+    ``exact=True``: f32 compute, HIGHEST matmul precision, XLA attention —
+    the numerics the <=1e-3 reference-parity bar is measured under.
+    """
     import jax.numpy as jnp
 
+    if exact:
+        enable_parity_numerics()
+        compute_dtype = jnp.float32
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     config = load_vae_config(config_file)
-    model, variables = load_vae_model(config, checkpoint_path, compute_dtype=compute_dtype)
+    model, variables = load_vae_model(
+        config, checkpoint_path, compute_dtype=compute_dtype,
+        use_pallas_attention=False if exact else None,
+    )
     return config, (model, variables)
 
 

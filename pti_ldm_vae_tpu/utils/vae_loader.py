@@ -61,12 +61,15 @@ def load_autoencoder_params(
 
 
 def load_vae_model(
-    config: Any, checkpoint_path: str, *, compute_dtype=jnp.float32
+    config: Any, checkpoint_path: str, *, compute_dtype=jnp.float32,
+    use_pallas_attention: bool | None = None,
 ) -> tuple[AutoencoderKL, Any]:
     """Returns (model, variables) — the functional analog of the reference's
     model-in-eval-mode (``vae_loader.py:27-43``)."""
     ae_def = config.autoencoder_def if hasattr(config, "autoencoder_def") else config["autoencoder_def"]
-    model = autoencoder_from_config(ae_def, compute_dtype=compute_dtype)
+    model = autoencoder_from_config(
+        ae_def, compute_dtype=compute_dtype, use_pallas_attention=use_pallas_attention
+    )
     variables = load_autoencoder_params(checkpoint_path, model, ae_def)
     return model, variables
 

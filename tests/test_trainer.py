@@ -187,9 +187,16 @@ def test_trainer_with_gan_warmup_transition(dataset, tmp_path):
     """adv_enabled with max_epochs crossing the epoch>5 gate: both compiled
     phases execute."""
     run_dir = tmp_path / "run4"
-    cfg = _config(dataset, run_dir, adv_enabled=True, max_epochs=7)
+    # adv_warmup_epochs=1 shrinks the run; the default (5) matches the
+    # reference gate and is asserted separately below.
+    cfg = _config(dataset, run_dir, adv_enabled=True, max_epochs=3, adv_warmup_epochs=1)
     trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
-    assert trainer._adv_active(5) is False and trainer._adv_active(6) is True
+    assert trainer._adv_active(1) is False and trainer._adv_active(2) is True
+    # The default gate (no adv_warmup_epochs key) is the reference's epoch>5.
+    default_trainer = VAETrainer.__new__(VAETrainer)
+    default_trainer.adv_enabled = True
+    default_trainer.adv_warmup_epochs = 5
+    assert default_trainer._adv_active(5) is False and default_trainer._adv_active(6) is True
     trainer.train()
     lines = [
         json.loads(line)
