@@ -105,4 +105,5 @@ def test_evaluate_cli(workspace):
     for key in ("recon_loss_mean", "kl_loss_mean", "psnr_mean", "ssim_mean", "mse_mean", "mae_mean"):
         assert key in metrics and np.isfinite(metrics[key])
     assert len(payload["files"]) == 10
+    assert payload["perceptual_pretrained"] is False  # no converted weights in CI
     # PSNR/SSIM counted per *valid* sample (10, not 12 padded).
