@@ -63,14 +63,9 @@ _FIRE_CFG = [  # (squeeze, expand1x1, expand3x3) with input channels implied
 LPIPS_CHANNELS = (64, 128, 256, 384, 384, 512, 512)
 
 
-def ensure_three_channels(x: jnp.ndarray) -> jnp.ndarray:
-    """Repeat a 1-channel NHWC batch to 3 channels (reference
-    ``utils/losses.py:8-28`` behavior for ImageNet backbones)."""
-    if x.shape[-1] == 3:
-        return x
-    if x.shape[-1] == 1:
-        return jnp.repeat(x, 3, axis=-1)
-    raise ValueError(f"expected 1 or 3 channels, got {x.shape[-1]}")
+# The canonical definition lives at the reference's module location
+# (utils/losses.py); re-exported here because it is LPIPS's input contract.
+from ..utils.losses import ensure_three_channels  # noqa: E402
 
 
 def _conv_shape_params(rng, in_ch: int, out_ch: int, k: int):
