@@ -86,10 +86,14 @@ def _init_vgg_params(seed: int = 0) -> list[dict]:
 
 
 def _load_vgg_params(seed: int = 0) -> list[dict]:
-    candidates = [
-        os.environ.get("PTI_VGG16_WEIGHTS"),
-        os.path.join(os.path.dirname(__file__), "..", "..", "weights", "vgg16_features.npz"),
-    ]
+    env = os.environ.get("PTI_VGG16_WEIGHTS")
+    if env == "none":  # explicit opt-out (test isolation from weights/)
+        candidates = []
+    else:
+        candidates = [
+            env,
+            os.path.join(os.path.dirname(__file__), "..", "..", "weights", "vgg16_features.npz"),
+        ]
     for cand in candidates:
         if cand and os.path.exists(cand):
             raw = np.load(cand)

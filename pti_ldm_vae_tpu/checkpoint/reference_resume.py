@@ -62,7 +62,7 @@ def load_reference_checkpoint(
         if key not in raw:
             raise KeyError(
                 f"{path} is not a reference full checkpoint (missing {key!r}; "
-                "have {sorted(raw)[:6]})"
+                f"have {sorted(raw)[:6]})"
             )
 
     def to_np(sd):

@@ -125,7 +125,7 @@ def select_channel_payload(latents: np.ndarray, attr_to_channel: dict[str, int],
     selected channel -> {title, unit-normalized heatmap data, valid flag}."""
     if selected_channel is None:
         return {"title": "No channel", "data": np.zeros_like(latents[0]), "valid": False}
-    if selected_channel >= latents.shape[0]:
+    if not 0 <= selected_channel < latents.shape[0]:
         return {
             "title": f"{selected_channel} (out of range)",
             "data": np.zeros_like(latents[0]),

@@ -320,7 +320,6 @@ class AutoencoderKL(nn.Module):
             if self.use_pallas_attention is None
             else bool(self.use_pallas_attention)
         )
-        self._attn_pallas = attn_pallas
         n_levels = len(self.channels)
         num_res_blocks = (
             (self.num_res_blocks,) * n_levels

@@ -105,13 +105,20 @@ def load_lpips_params(npz_path: str | None = None, seed: int = 0) -> dict[str, A
     """Load converted LPIPS weights from ``.npz`` (keys ``conv0/w`` etc.),
     falling back to :func:`init_lpips_params`.
 
-    Search order: explicit path -> $PTI_LPIPS_WEIGHTS -> packaged default.
+    Search order: explicit path -> $PTI_LPIPS_WEIGHTS -> packaged default
+    (``weights/lpips_squeeze.npz``). Setting ``$PTI_LPIPS_WEIGHTS=none``
+    skips every candidate and forces the random-init fallback (used by the
+    test suite so packaged weights don't change test behavior).
     """
-    candidates = [
-        npz_path,
-        os.environ.get("PTI_LPIPS_WEIGHTS"),
-        os.path.join(os.path.dirname(__file__), "..", "..", "weights", "lpips_squeeze.npz"),
-    ]
+    env = os.environ.get("PTI_LPIPS_WEIGHTS")
+    if env == "none":  # explicit opt-out: ignore env AND the packaged default
+        candidates = [npz_path]
+    else:
+        candidates = [
+            npz_path,
+            env,
+            os.path.join(os.path.dirname(__file__), "..", "..", "weights", "lpips_squeeze.npz"),
+        ]
     for cand in candidates:
         if cand and os.path.exists(cand):
             raw = np.load(cand)

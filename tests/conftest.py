@@ -25,6 +25,12 @@ if "xla_force_host_platform_device_count" not in _flags:
 _cache_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache")
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 
+# Tests assume the random-feature fallback; "none" makes the loaders ignore
+# any converted weights a user installed under weights/ (tests that exercise
+# real weight loading monkeypatch these to explicit paths).
+os.environ.setdefault("PTI_LPIPS_WEIGHTS", "none")
+os.environ.setdefault("PTI_VGG16_WEIGHTS", "none")
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")

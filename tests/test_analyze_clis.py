@@ -184,5 +184,7 @@ def test_ar_channel_dropdown_callback(analysis_ws):
 
     oob = select_channel_payload(latents, mapping, 7)
     assert not oob["valid"] and "out of range" in oob["title"]
+    neg = select_channel_payload(latents, mapping, -1)
+    assert not neg["valid"] and "out of range" in neg["title"]
     none = select_channel_payload(latents, mapping, None)
     assert not none["valid"] and none["title"] == "No channel"

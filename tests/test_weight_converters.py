@@ -122,7 +122,9 @@ def test_lpips_converter_missing_lin_raises():
 
 
 def test_lpips_fallback_is_loud(monkeypatch, caplog):
-    monkeypatch.delenv("PTI_LPIPS_WEIGHTS", raising=False)
+    # "none" opts out of env AND packaged weights/ defaults, so this test is
+    # stable even after a user installs converted weights.
+    monkeypatch.setenv("PTI_LPIPS_WEIGHTS", "none")
     import logging
 
     with caplog.at_level(logging.WARNING, logger="pti_ldm_vae_tpu.models.lpips"):

@@ -20,7 +20,7 @@ import sys
 import numpy as np
 
 
-def check(dump_dir: str, tol: float = 1e-3) -> dict[str, float]:
+def check(dump_dir: str) -> dict[str, float]:
     import jax
     import jax.numpy as jnp
     import torch
@@ -67,7 +67,7 @@ def main(argv=None) -> int:
     parser.add_argument("dump_dir")
     parser.add_argument("--tol", type=float, default=1e-3)
     args = parser.parse_args(argv)
-    divergences = check(args.dump_dir, args.tol)
+    divergences = check(args.dump_dir)
     ok = True
     for name, val in divergences.items():
         status = "OK " if val <= args.tol else "FAIL"
