@@ -181,9 +181,16 @@ def _fire(x, p):
     return jnp.concatenate([e1, e3], axis=-1)
 
 
-def lpips_features(params: dict[str, Any], x: jnp.ndarray) -> list[jnp.ndarray]:
-    """The 7 LPIPS tap activations for an NHWC 3-channel input in [-1, 1]."""
-    x = (x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)
+def lpips_features(
+    params: dict[str, Any], x: jnp.ndarray, compute_dtype: Any = jnp.float32
+) -> list[jnp.ndarray]:
+    """The 7 LPIPS tap activations for an NHWC 3-channel input in [-1, 1].
+
+    ``compute_dtype`` runs the SqueezeNet trunk at that precision (bf16 on
+    TPU inside the mixed-precision train step — same policy as the VAE conv
+    stack); the distance accumulation downstream stays f32 either way.
+    """
+    x = ((x - jnp.asarray(_SHIFT)) / jnp.asarray(_SCALE)).astype(compute_dtype)
     taps = []
     h = jax.nn.relu(_conv(x, params["conv0"], stride=2))          # relu1
     taps.append(h)
@@ -213,15 +220,18 @@ def _unit_normalize(feat: jnp.ndarray, eps: float = 1e-10) -> jnp.ndarray:
 
 
 def lpips_distance_per_sample(
-    params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray
+    params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray,
+    compute_dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
     """Per-sample [B] LPIPS distances (for masked batch means)."""
     x = ensure_three_channels(x.astype(jnp.float32))
     y = ensure_three_channels(y.astype(jnp.float32))
-    fx = lpips_features(params, x)
-    fy = lpips_features(params, y)
+    fx = lpips_features(params, x, compute_dtype)
+    fy = lpips_features(params, y, compute_dtype)
     total = jnp.zeros((x.shape[0],), dtype=jnp.float32)
     for i, (a, b) in enumerate(zip(fx, fy)):
+        a = a.astype(jnp.float32)
+        b = b.astype(jnp.float32)
         diff = jnp.square(_unit_normalize(a) - _unit_normalize(b))
         w = params[f"lin{i}"]["w"].astype(jnp.float32)  # [C]
         total = total + jnp.mean(jnp.sum(diff * w, axis=-1), axis=(1, 2))

@@ -93,7 +93,12 @@ def _generator_losses(
     kl_loss = _masked_mean(_per_sample_kl(z_mu, z_sigma, lcfg.kl_mode), mask)
 
     if lcfg.use_perceptual:
-        p_loss = _masked_mean(lpips_distance_per_sample(lpips_params, recon, images), mask)
+        # LPIPS trunk follows the model's precision policy (bf16 on TPU);
+        # the per-tap normalize/weight accumulation inside stays f32.
+        lpips_dtype = getattr(model, "compute_dtype", jnp.float32)
+        p_loss = _masked_mean(
+            lpips_distance_per_sample(lpips_params, recon, images, lpips_dtype), mask
+        )
     else:
         p_loss = jnp.zeros((), jnp.float32)
 

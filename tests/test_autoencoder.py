@@ -108,6 +108,7 @@ def test_reference_config_architecture_abstract():
     assert z_mu.shape == z_sigma.shape == (8, 32, 32, 4)
 
 
+@pytest.mark.slow
 def test_pallas_attention_default_and_equivalence():
     """use_pallas_attention=None resolves by backend (True on TPU, so the
     measured-faster kernel is the production default); the Pallas path is

@@ -138,6 +138,7 @@ def _monai_order(keys):
     return enc + dec + tail
 
 
+@pytest.mark.slow
 def test_reference_full_checkpoint_resume(tmp_path):
     """A reference checkpoint_epoch{N}.pth (weights + Adam moments + counters,
     train_vae.py:740-765) converts into a full GanTrainState: params round-trip

@@ -58,11 +58,29 @@ def workspace(tmp_path_factory):
     }
     cfg_path = root / "config.json"
     cfg_path.write_text(json.dumps(cfg))
-    return root, cfg_path
+
+    # Loadable (untrained) checkpoint so inference/evaluate don't depend on
+    # the slow-marked train test having run first.
+    import jax
+    import jax.numpy as jnp
+
+    from pti_ldm_vae_tpu.checkpoint.orbax_io import CheckpointManager
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+    from pti_ldm_vae_tpu.config import resolve_refs
+
+    resolved = resolve_refs(cfg)
+    model = autoencoder_from_config(resolved["autoencoder_def"], compute_dtype=jnp.float32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 32, 32, 1)), jax.random.key(1)
+    )
+    ckpt_dir = root / "init_weights"
+    CheckpointManager(str(ckpt_dir)).save_last(params, None)
+    return root, cfg_path, ckpt_dir / "autoencoder_last"
 
 
+@pytest.mark.slow
 def test_train_cli(workspace):
-    root, cfg_path = workspace
+    root, cfg_path, _ = workspace
     from pti_ldm_vae_tpu.cli.train_vae import main
 
     result = main(["-c", str(cfg_path), "--no-wandb", "--f32", "--num-workers", "2"])
@@ -71,8 +89,7 @@ def test_train_cli(workspace):
 
 
 def test_inference_cli(workspace):
-    root, cfg_path = workspace
-    ckpt = root / "runs" / "tiny" / "trained_weights" / "autoencoder_last"
+    root, cfg_path, ckpt = workspace
     from pti_ldm_vae_tpu.cli.inference_vae import main
 
     out = root / "inference_out"
@@ -90,8 +107,7 @@ def test_inference_cli(workspace):
 
 
 def test_evaluate_cli(workspace):
-    root, cfg_path = workspace
-    ckpt = root / "runs" / "tiny" / "trained_weights" / "autoencoder_last"
+    root, cfg_path, ckpt = workspace
     from pti_ldm_vae_tpu.cli.evaluate_vae import main
 
     out = root / "eval_out"

@@ -62,6 +62,7 @@ def test_unet_forward_shapes(unet_and_params):
     assert not np.allclose(np.asarray(eps), np.asarray(eps3))
 
 
+@pytest.mark.slow
 def test_unet_from_config_unconditioned():
     cfg = dict(
         spatial_dims=2, in_channels=2, out_channels=2,

@@ -1,8 +1,10 @@
 """Driver entry points stay healthy: multi-chip dryrun on the CPU mesh."""
 
+import pytest
 import sys
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip
@@ -15,6 +17,7 @@ def test_dryrun_multichip_8():
     dryrun_multichip(8)
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_2():
     sys.path.insert(0, "/root/repo")
     from __graft_entry__ import dryrun_multichip

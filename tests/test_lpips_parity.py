@@ -129,3 +129,18 @@ def test_lpips_distance_parity():
 
     theirs = torch_lpips(a, b)
     np.testing.assert_allclose(ours, theirs, rtol=1e-4)
+
+
+def test_lpips_bf16_trunk_close_to_f32():
+    """The mixed-precision trunk path (train-step policy on TPU) tracks the
+    f32 distance within bf16 rounding."""
+    from pti_ldm_vae_tpu.models.lpips import lpips_distance_per_sample
+
+    params = init_lpips_params(seed=0)
+    rng = np.random.default_rng(2)
+    a = jnp.asarray(rng.normal(size=(2, 64, 64, 1)).astype(np.float32))
+    b = jnp.asarray(rng.normal(size=(2, 64, 64, 1)).astype(np.float32))
+    d32 = np.asarray(lpips_distance_per_sample(params, a, b, jnp.float32))
+    d16 = np.asarray(lpips_distance_per_sample(params, a, b, jnp.bfloat16))
+    assert d16.dtype == np.float32  # accumulation stays f32
+    np.testing.assert_allclose(d16, d32, rtol=0.05, atol=1e-3)

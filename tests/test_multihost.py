@@ -7,6 +7,7 @@ run on the same global batch. This is the property DDP gives the reference
 (``utils/distributed.py:8-29``) — gradients identical to large-batch SGD.
 """
 
+import pytest
 import json
 import os
 import socket
@@ -56,6 +57,7 @@ def _single_process_reference() -> dict:
     return out
 
 
+@pytest.mark.slow
 def test_two_process_step_matches_single_process(tmp_path):
     with socket.socket() as sock:
         sock.bind(("localhost", 0))

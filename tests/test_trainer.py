@@ -169,6 +169,7 @@ def test_trainer_overwrite_protection(dataset, tmp_path):
         VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
 
 
+@pytest.mark.slow
 def test_trainer_resume(dataset, tmp_path):
     run_dir = tmp_path / "run3"
     cfg = _config(dataset, run_dir, max_epochs=1)
@@ -183,6 +184,7 @@ def test_trainer_resume(dataset, tmp_path):
     assert r2["total_step"] > r1["total_step"]
 
 
+@pytest.mark.slow
 def test_trainer_with_gan_warmup_transition(dataset, tmp_path):
     """adv_enabled with max_epochs crossing the epoch>5 gate: both compiled
     phases execute."""
@@ -208,6 +210,7 @@ def test_trainer_with_gan_warmup_transition(dataset, tmp_path):
     assert warm and active
 
 
+@pytest.mark.slow
 def test_trainer_parallelism_block(dataset, tmp_path):
     """`parallelism: {data, spatial}` config block: trainer builds a dp x sp
     mesh and trains through the spatial-sharded path (VERDICT item 8)."""
