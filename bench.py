@@ -22,11 +22,19 @@ final step, which provably forces the whole chain.
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Persistent compilation cache: the v5e tunnel's remote compile of the full
+# train step takes minutes; cached executables make repeat bench runs fast.
+_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu")
+jax.config.update("jax_compilation_cache_dir", _CACHE)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_IMGS_PER_SEC = 15.0
 BATCH = 8
@@ -255,8 +263,16 @@ def main() -> None:
     train_b8 = bench_train(model, lpips_params, lcfg, make_step, BATCH, peak_tf, peak_bw)
 
     best_batch, train_best = BATCH, train_b8
-    for cand in (32, 64) if on_tpu else ():
-        res = bench_train(model, lpips_params, lcfg, make_step, cand, peak_tf, peak_bw)
+    # 64 and 128 bracket the practical occupancy range: 128 measures 396
+    # imgs/s on v5e; 192/256 exceed what the backward pass fits in HBM
+    # (remote-compile failure), so don't probe past 128.
+    for cand in (64, 128) if on_tpu else ():
+        try:
+            res = bench_train(model, lpips_params, lcfg, make_step, cand, peak_tf, peak_bw)
+        except Exception as exc:  # batch too large for this chip's HBM
+            print(f"# batch {cand} skipped: {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+            continue
         if res["imgs_per_sec"] > train_best["imgs_per_sec"]:
             best_batch, train_best = cand, res
 

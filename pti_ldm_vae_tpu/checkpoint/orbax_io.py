@@ -33,10 +33,21 @@ __all__ = [
 
 
 def save_pytree(path: str, tree: Any) -> None:
-    """Save a pytree checkpoint directory (overwrites)."""
+    """Save a pytree checkpoint directory (overwrites).
+
+    Leaves are fetched to host numpy first: jitted train states carry
+    compiler-assigned (GSPMD) shardings that orbax cannot serialize — it
+    would write ``sharding=None`` and the checkpoint becomes unrestorable.
+    Host arrays also make checkpoints topology-portable (restore never
+    depends on the mesh they were saved under). Multi-host callers save
+    replicated trees from process 0 (all leaves addressable).
+    """
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
+    tree = jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree)
 

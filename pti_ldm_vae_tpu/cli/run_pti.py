@@ -12,13 +12,18 @@ from __future__ import annotations
 import argparse
 from pathlib import Path
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoint.orbax_io import save_pytree
 from ..data.factory import create_vae_inference_dataloader
 from ..data.io import write_png, write_tif
-from ..train.diffusion import pivotal_tuning_inversion
+from ..parallel.mesh import make_mesh, place_batch
+from ..train.diffusion import (
+    pivotal_tuning_inversion,
+    pivotal_tuning_inversion_batched,
+)
 from ..utils.cli_common import (
     add_shared_io_args,
     init_device_and_seed,
@@ -38,6 +43,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--tune-lr", type=float, default=1e-4)
     parser.add_argument("--save-tuned", action="store_true",
                         help="Save per-image tuned decoder params (large)")
+    # --batch-size comes from add_shared_io_args: >1 vmaps the whole PTI
+    # stage and shards it over the device mesh (each chip tunes its images
+    # independently); 1 keeps the sequential per-image path.
+    parser.set_defaults(batch_size=1)
     return parser.parse_args(argv)
 
 
@@ -50,38 +59,70 @@ def main(argv=None) -> Path:
 
     patch_size = tuple(config.autoencoder_train["patch_size"])
     loader, paths = create_vae_inference_dataloader(
-        args.input_dir, patch_size, batch_size=1,
+        args.input_dir, patch_size, batch_size=max(args.batch_size, 1),
         num_samples=args.num_samples, num_workers=args.num_workers,
     )
 
     def decode_fn(params, z):
         return model.apply(params, z, method=model.decode_stage_2_outputs)
 
-    img_idx = 0
-    for batch in loader:
-        if batch["mask"][0] == 0:
-            continue
-        target = jnp.asarray(batch["image"][:1])
-        # Encoder gives the starting point for inversion.
-        z_init = model.apply(variables, target, method=model.encode_deterministic)
-        pivot, tuned, losses = pivotal_tuning_inversion(
-            decode_fn, variables, target, z_init,
-            latent_steps=args.latent_steps, latent_lr=args.latent_lr,
-            tune_steps=args.tune_steps, tune_lr=args.tune_lr,
-        )
+    hyper = dict(
+        latent_steps=args.latent_steps, latent_lr=args.latent_lr,
+        tune_steps=args.tune_steps, tune_lr=args.tune_lr,
+    )
+    batched = args.batch_size > 1
+    mesh = None
+    if batched and jax.device_count() > 1:
+        # Each image's optimization is independent: shard the batch over the
+        # mesh `data` axis and every chip runs its images concurrently.
+        # Params replicate explicitly (checkpoint-restored arrays may be
+        # committed to one device, which would clash with sharded inputs).
+        from ..parallel.mesh import replicated
+
+        mesh = make_mesh()
+        variables = jax.device_put(variables, replicated(mesh))
+
+    def save_one(name: str, pivot, tuned, latent_loss, tune_loss) -> None:
         recon = np.asarray(decode_fn(tuned, pivot))
-        name = Path(paths[img_idx]).stem
         np.savez(out_dir / f"{name}_pivot.npz", latent=np.asarray(pivot),
-                 latent_loss=np.asarray(losses["latent"]),
-                 tune_loss=np.asarray(losses["tune"]))
+                 latent_loss=np.asarray(latent_loss), tune_loss=np.asarray(tune_loss))
         write_tif(str(out_dir / f"{name}_pti.tif"), recon[0, :, :, 0])
         disp = normalize_batch_for_display(recon)
         write_png(str(out_dir / f"{name}_pti.png"), (disp[0, :, :, 0] * 255).astype(np.uint8))
         if args.save_tuned:
             save_pytree(str(out_dir / f"{name}_decoder"), tuned)
-        print(f"{name}: inversion L2 {float(losses['latent'][-1]):.5f} -> "
-              f"tuned {float(losses['tune'][-1]):.5f}")
-        img_idx += 1
+        print(f"{name}: inversion L2 {float(latent_loss[-1]):.5f} -> "
+              f"tuned {float(tune_loss[-1]):.5f}")
+
+    img_idx = 0
+    for batch in loader:
+        valid = np.asarray(batch["mask"]) > 0
+        if not valid.any():
+            continue
+        images = jnp.asarray(batch["image"])
+        z_init = model.apply(variables, images, method=model.encode_deterministic)
+        if batched:
+            target_in, z_in = images, z_init
+            if mesh is not None:
+                placed = place_batch(mesh, {"image": np.asarray(images),
+                                            "z": np.asarray(z_init)})
+                target_in, z_in = placed["image"], placed["z"]
+            pivots, tuned_all, losses = pivotal_tuning_inversion_batched(
+                decode_fn, variables, target_in, z_in, mesh=mesh, **hyper
+            )
+            for row in np.nonzero(valid)[0]:
+                name = Path(paths[img_idx + int(row)]).stem
+                tuned_row = jax.tree.map(lambda leaf, r=int(row): leaf[r], tuned_all)
+                save_one(name, pivots[int(row)][None], tuned_row,
+                         losses["latent"][int(row)], losses["tune"][int(row)])
+        else:
+            target = images[:1]
+            pivot, tuned, losses = pivotal_tuning_inversion(
+                decode_fn, variables, target, z_init[:1], **hyper
+            )
+            name = Path(paths[img_idx]).stem
+            save_one(name, pivot, tuned, losses["latent"], losses["tune"])
+        img_idx += int(valid.sum())
     print(f"PTI complete ({img_idx} images) -> {out_dir}")
     return out_dir
 

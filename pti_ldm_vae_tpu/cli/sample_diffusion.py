@@ -65,7 +65,14 @@ def main(argv=None) -> Path:
     steps = args.num_inference_steps or int(cfg.get("sampling", {}).get("num_inference_steps", 50))
     eta = float(cfg.get("sampling", {}).get("eta", 0.0))
 
-    params = load_pytree(args.checkpoint)
+    # Mesh over all devices: the sample batch shards on `data`, every
+    # parameter tree replicates explicitly (checkpoint-restored arrays carry
+    # committed shardings that would otherwise clash with fresh arrays).
+    from ..parallel.mesh import make_mesh, place_batch, replicated
+
+    mesh = make_mesh()
+    params = jax.device_put(load_pytree(args.checkpoint), replicated(mesh))
+    vae_vars = jax.device_put(vae_vars, replicated(mesh))
     projector = ConditionProjector(
         cross_attention_dim=cfg["diffusion_def"].get("cross_attention_dim", 512)
     ) if with_cond else None
@@ -95,16 +102,35 @@ def main(argv=None) -> Path:
     def apply(p, x, t, ctx):
         return unet.apply(p, x, t, ctx)
 
+    # Shard the sample batch over the mesh `data` axis — each chip denoises
+    # its samples independently (params replicated, no collectives in the
+    # scan). Batch is padded to the device count (extra rows dropped after
+    # decode); single-device meshes degrade to the plain path.
+    rng, noise_rng = jax.random.split(rng)
+    noise_host = np.asarray(
+        jax.random.normal(noise_rng, (n, h_lat, w_lat, latent_ch), jnp.float32)
+    )
+    placed = place_batch(
+        mesh,
+        {"noise": noise_host, **({"ctx": np.asarray(context)} if context is not None else {})},
+    )
+    initial_noise = placed["noise"]
+    context = placed.get("ctx", None)
+    n_padded = initial_noise.shape[0]
+
     @jax.jit
-    def sample_and_decode(p, rng):
+    def sample_and_decode(p, vv, rng, noise, ctx):
         latents = ddim_sample(
             lambda pp, x, t, c: apply(pp, x, t, c), p["unet"], schedule,
-            (n, h_lat, w_lat, latent_ch), rng,
-            num_inference_steps=steps, context=context, eta=eta,
+            (n_padded, h_lat, w_lat, latent_ch), rng,
+            num_inference_steps=steps, context=ctx, eta=eta,
+            initial_noise=noise,
         )
-        return vae.apply(vae_vars, latents, method=vae.decode_stage_2_outputs)
+        return vae.apply(vv, latents, method=vae.decode_stage_2_outputs)
 
-    images = np.asarray(sample_and_decode(params, rng))
+    images = np.asarray(
+        sample_and_decode(params, vae_vars, rng, initial_noise, context)
+    )[:n]
     disp = normalize_batch_for_display(images)
     for i in range(images.shape[0]):
         write_tif(str(out_dir / f"sample_{i:03d}.tif"), images[i, :, :, 0])

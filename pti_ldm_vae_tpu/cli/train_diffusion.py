@@ -20,6 +20,7 @@ from ..checkpoint.orbax_io import save_pytree
 from ..config import load_config
 from ..data.factory import create_vae_inference_dataloader
 from ..models.unet import ConditionProjector, diffusion_unet_from_config
+from ..parallel.mesh import make_mesh, place_batch
 from ..train.diffusion import NoiseSchedule, add_noise
 from ..utils.cli_common import init_device_and_seed
 from ..utils.logging import MetricLogger
@@ -120,6 +121,11 @@ def main(argv=None) -> dict:
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 
+    # Data-parallel mesh over all devices (DDP equivalent): batch rows shard
+    # on `data`, params replicate, XLA inserts the gradient all-reduce over
+    # ICI inside the jitted step.
+    mesh = make_mesh()
+
     logger = MetricLogger(str(run_dir), wandb_cfg=cfg.get("wandb", {"enabled": False}))
     total_step = 0
     for epoch in range(max_epochs):
@@ -127,8 +133,9 @@ def main(argv=None) -> dict:
         epoch_loss, n = 0.0, 0
         for batch in loader:
             rng, sub = jax.random.split(rng)
+            placed = place_batch(mesh, {"image": batch["image"], "mask": batch["mask"]})
             params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(batch["image"]), jnp.asarray(batch["mask"]), sub
+                params, opt_state, placed["image"], placed["mask"], sub
             )
             epoch_loss += float(loss)
             n += 1

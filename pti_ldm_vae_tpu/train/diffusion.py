@@ -30,6 +30,7 @@ __all__ = [
     "ddim_sample",
     "make_diffusion_train_step",
     "pivotal_tuning_inversion",
+    "pivotal_tuning_inversion_batched",
 ]
 
 
@@ -66,15 +67,20 @@ def ddim_sample(
     num_inference_steps: int = 50,
     context: jnp.ndarray | None = None,
     eta: float = 0.0,
+    initial_noise: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """Deterministic DDIM sampling, fully on-device via ``lax.scan``.
 
     ``unet_apply(params, x, timesteps, context) -> eps_pred``.
+    ``initial_noise``: optional pre-made x_T (e.g. a mesh-sharded array so
+    the sample batch splits across chips); defaults to fresh N(0, 1).
     """
     step_ratio = schedule.num_train_timesteps // num_inference_steps
     timesteps = (jnp.arange(num_inference_steps) * step_ratio)[::-1]  # descending
     rng, init_rng = jax.random.split(rng)
-    x = jax.random.normal(init_rng, shape, dtype=jnp.float32)
+    x = initial_noise if initial_noise is not None else jax.random.normal(
+        init_rng, shape, dtype=jnp.float32
+    )
 
     def body(carry, step_idx):
         x, rng = carry
@@ -193,3 +199,102 @@ def pivotal_tuning_inversion(
 
     tuned_params, tune_losses = tune(decoder_params)
     return pivot, tuned_params, {"latent": latent_losses, "tune": tune_losses}
+
+
+def pivotal_tuning_inversion_batched(
+    decode_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    decoder_params: Any,
+    targets: jnp.ndarray,
+    latent_inits: jnp.ndarray,
+    *,
+    latent_steps: int = 200,
+    latent_lr: float = 1e-1,
+    tune_steps: int = 100,
+    tune_lr: float = 1e-4,
+    mesh=None,
+) -> tuple[jnp.ndarray, Any, dict[str, jnp.ndarray]]:
+    """PTI batched over images — the pod-slice form of the stage.
+
+    Each image's inversion and decoder fine-tune are independent, so the
+    whole stage is ``vmap`` over the batch axis inside ONE jitted program;
+    with ``mesh`` given, the stage runs under ``shard_map`` over the mesh
+    ``data`` axis: every chip vmaps its local shard's optimization loops
+    concurrently (no cross-device communication — embarrassingly parallel).
+    ``shard_map`` rather than plain sharded-``jit`` because stage 2's
+    per-image decoder copies turn convs into feature-grouped convs under
+    ``vmap``, which GSPMD cannot partition on the group axis; per-device
+    local vmap sidesteps the propagation entirely. Per-image results are
+    bit-comparable to :func:`pivotal_tuning_inversion` (tested on the CPU
+    mesh).
+
+    ``targets``: [B, H, W, C]; ``latent_inits``: [B, h, w, c]; with ``mesh``,
+    B must divide by the mesh ``data`` axis (pad via ``parallel.mesh.
+    place_batch``). Returns ``(pivots [B, h, w, c], tuned_params with a
+    leading B axis on every leaf, losses {latent/tune: [B, steps]})``.
+    """
+    latent_tx = optax.adam(latent_lr)
+    tune_tx = optax.adam(tune_lr)
+
+    def single(frozen, target, z0):
+        target_b = target[None]
+
+        def recon_loss(z, params):
+            return jnp.mean(jnp.square(decode_fn(params, z[None]) - target_b))
+
+        def invert_body(carry, _):
+            z, opt = carry
+            loss, grads = jax.value_and_grad(recon_loss)(z, frozen)
+            updates, opt = latent_tx.update(grads, opt, z)
+            return (optax.apply_updates(z, updates), opt), loss
+
+        (pivot, _), latent_losses = jax.lax.scan(
+            invert_body, (z0, latent_tx.init(z0)), None, length=latent_steps
+        )
+
+        def tune_body(carry, _):
+            params, opt = carry
+            loss, grads = jax.value_and_grad(lambda p: recon_loss(pivot, p))(params)
+            updates, opt = tune_tx.update(grads, opt, params)
+            return (optax.apply_updates(params, updates), opt), loss
+
+        (tuned, _), tune_losses = jax.lax.scan(
+            tune_body, (frozen, tune_tx.init(frozen)), None,
+            length=tune_steps,
+        )
+        return pivot, tuned, {"latent": latent_losses, "tune": tune_losses}
+
+    def run(params, targets, latent_inits):
+        return jax.vmap(single, in_axes=(None, 0, 0))(params, targets, latent_inits)
+
+    if mesh is None or mesh.shape.get("data", 1) <= 1:
+        return jax.jit(run)(decoder_params, targets, latent_inits)
+
+    from jax.sharding import PartitionSpec as P
+
+    try:
+        from jax import shard_map
+    except ImportError:  # pre-0.8 JAX
+        from jax.experimental.shard_map import shard_map
+
+    from ..parallel.mesh import DATA_AXIS, data_sharding, replicated
+
+    data_size = mesh.shape[DATA_AXIS]
+    if targets.shape[0] % data_size:
+        raise ValueError(
+            f"batch {targets.shape[0]} must divide the mesh data axis "
+            f"({data_size}); pad via parallel.mesh.place_batch"
+        )
+    sharded = shard_map(
+        run, mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS),
+        # Params enter unvarying (replicated); without this, the AD transpose
+        # of their broadcast inserts a psum over `data`, summing every
+        # image's decoder gradient into every copy. Per-device tuning must
+        # stay independent, so disable varying-ness tracking.
+        check_vma=False,
+    )
+    decoder_params = jax.device_put(decoder_params, replicated(mesh))
+    targets = jax.device_put(targets, data_sharding(mesh, targets.ndim))
+    latent_inits = jax.device_put(latent_inits, data_sharding(mesh, latent_inits.ndim))
+    return jax.jit(sharded)(decoder_params, targets, latent_inits)

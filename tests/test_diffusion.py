@@ -158,3 +158,46 @@ def test_pivotal_tuning_inversion():
     assert float(losses["tune"][-1]) < 1e-3
     final = decode(tuned, pivot)
     np.testing.assert_allclose(np.asarray(final), np.asarray(target), atol=0.1)
+
+
+def test_pivotal_tuning_inversion_batched_matches_sequential():
+    """Mesh-batched PTI (one vmapped program, batch sharded over `data`)
+    reproduces the per-image sequential results."""
+    from pti_ldm_vae_tpu.parallel.mesh import make_mesh
+    from pti_ldm_vae_tpu.train.diffusion import pivotal_tuning_inversion_batched
+
+    def decode(params, z):
+        # [B, 3] @ [3, 6]: a linear "decoder" keeps the test instant.
+        return z @ params["w"] + params["b"]
+
+    rng = np.random.default_rng(6)
+    true_w = jnp.asarray(rng.normal(size=(3, 6)).astype(np.float32))
+    params = {"w": true_w * 0.9, "b": jnp.zeros((6,))}
+    z_true = jnp.asarray(rng.normal(size=(8, 3)).astype(np.float32))
+    targets = z_true @ true_w
+    z_init = jnp.zeros((8, 3))
+
+    pivots, tuned, losses = pivotal_tuning_inversion_batched(
+        decode, params, targets, z_init,
+        latent_steps=60, latent_lr=5e-2, tune_steps=40, tune_lr=1e-2,
+        mesh=make_mesh(),
+    )
+    assert pivots.shape == (8, 3)
+    assert tuned["w"].shape == (8, 3, 6)  # one tuned decoder per image
+    assert losses["latent"].shape == (8, 60)
+
+    for i in (0, 3, 7):
+        pivot_i, tuned_i, losses_i = pivotal_tuning_inversion(
+            decode, params, targets[i : i + 1], z_init[i : i + 1],
+            latent_steps=60, latent_lr=5e-2, tune_steps=40, tune_lr=1e-2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(pivots[i]), np.asarray(pivot_i[0]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(tuned["w"][i]), np.asarray(tuned_i["w"]), rtol=1e-5, atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(losses["latent"][i]), np.asarray(losses_i["latent"]),
+            rtol=1e-5, atol=1e-7,
+        )
