@@ -41,6 +41,16 @@ __all__ = [
 ]
 
 
+
+def _to_flax_kernel(w: np.ndarray) -> np.ndarray:
+    """torch conv weight (O, I, *K) -> flax kernel (*K, I, O), any spatial rank."""
+    return np.transpose(w, (*range(2, w.ndim), 1, 0))
+
+
+def _to_torch_weight(k: np.ndarray) -> np.ndarray:
+    """flax kernel (*K, I, O) -> torch conv weight (O, I, *K), any spatial rank."""
+    return np.transpose(k, (k.ndim - 1, k.ndim - 2, *range(0, k.ndim - 2)))
+
 def _levels(config: dict) -> tuple[list[int], list[int], list[bool]]:
     channels = list(config["channels"])
     nrb = config.get("num_res_blocks", 2)
@@ -166,7 +176,7 @@ def from_torch_state_dict(state_dict: dict[str, Any], config: dict) -> dict:
     for flax_path, monai_prefix, kind in monai_layout(config):
         if kind == "conv":
             w = take(f"{monai_prefix}.weight")  # OIHW
-            _set(params, flax_path, "kernel", np.transpose(w, (2, 3, 1, 0)))
+            _set(params, flax_path, "kernel", _to_flax_kernel(w))
             _set(params, flax_path, "bias", take(f"{monai_prefix}.bias"))
         elif kind == "norm":
             _set(params, flax_path, "scale", take(f"{monai_prefix}.weight"))
@@ -226,7 +236,7 @@ def disc_from_torch_state_dict(
                 f"(have e.g. {sorted(sd)[:5]}); layout drift vs MONAI?"
             )
         w = sd.pop(f"{monai_prefix}.weight")
-        params[flax_name] = {"kernel": np.transpose(w, (2, 3, 1, 0))}
+        params[flax_name] = {"kernel": _to_flax_kernel(w)}
         if has_bias:
             params[flax_name]["bias"] = sd.pop(f"{monai_prefix}.bias")
     if sd:
@@ -239,8 +249,8 @@ def disc_to_torch_state_dict(variables: dict, num_layers_d: int = 3) -> dict[str
     params = variables.get("params", variables)
     sd: dict[str, np.ndarray] = {}
     for flax_name, monai_prefix, has_bias in disc_monai_layout(num_layers_d):
-        sd[f"{monai_prefix}.weight"] = np.transpose(
-            np.asarray(params[flax_name]["kernel"]), (3, 2, 0, 1)
+        sd[f"{monai_prefix}.weight"] = _to_torch_weight(
+            np.asarray(params[flax_name]["kernel"])
         )
         if has_bias:
             sd[f"{monai_prefix}.bias"] = np.asarray(params[flax_name]["bias"])
@@ -296,8 +306,8 @@ def to_torch_state_dict(variables: dict, config: dict) -> dict[str, np.ndarray]:
     sd: dict[str, np.ndarray] = {}
     for flax_path, monai_prefix, kind in monai_layout(config):
         if kind == "conv":
-            sd[f"{monai_prefix}.weight"] = np.transpose(
-                _get(params, flax_path, "kernel"), (3, 2, 0, 1)
+            sd[f"{monai_prefix}.weight"] = _to_torch_weight(
+                _get(params, flax_path, "kernel")
             )
             sd[f"{monai_prefix}.bias"] = _get(params, flax_path, "bias")
         elif kind == "norm":

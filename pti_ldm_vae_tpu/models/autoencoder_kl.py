@@ -16,7 +16,9 @@ VAE lineage, per SURVEY.md §2.2):
 
 Differences from the torch reference — all deliberate, TPU-first:
 
-* NHWC layout (XLA's native TPU conv layout) instead of NCHW,
+* channel-last layout (NHWC / NDHWC — XLA's native TPU conv layout)
+  instead of NCHW; ``spatial_dims`` 1/2/3 supported like MONAI (rank-generic
+  convs, norms, resampling, and token-flattened attention),
 * GroupNorm+SiLU optionally fused via a Pallas kernel (``use_pallas``),
 * pure-functional apply; sampling takes an explicit PRNG key,
 * compute dtype policy (bf16 compute / f32 params) via ``compute_dtype``.
@@ -81,23 +83,24 @@ class ResBlock(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_channels = x.shape[-1]
+        k3 = (3,) * (x.ndim - 2)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm1"
         )(x)
         h = nn.Conv(
-            self.out_channels, (3, 3), padding=1,
+            self.out_channels, k3, padding=1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv1",
         )(h)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm2"
         )(h)
         h = nn.Conv(
-            self.out_channels, (3, 3), padding=1,
+            self.out_channels, k3, padding=1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv2",
         )(h)
         if in_channels != self.out_channels:
             x = nn.Conv(
-                self.out_channels, (1, 1),
+                self.out_channels, (1,) * (x.ndim - 2),
                 dtype=self.compute_dtype, param_dtype=self.param_dtype, name="nin_shortcut",
             )(x)
         return x + h
@@ -119,17 +122,17 @@ class SpatialAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        b, h, w, c = x.shape
+        b, c = x.shape[0], x.shape[-1]
         num_heads = c // self.num_head_channels if self.num_head_channels else 1
         residual = x
         xn = GroupNormOp(self.norm_num_groups, self.norm_eps, name="norm")(x)
-        seq = xn.reshape(b, h * w, c)
+        seq = xn.reshape(b, -1, c)
         q = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_q")(seq)
         k = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_k")(seq)
         v = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_v")(seq)
         out = multi_head_attention(q, k, v, num_heads=num_heads, use_pallas=self.use_pallas)
         out = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="proj_attn")(out)
-        return residual + out.reshape(b, h, w, c)
+        return residual + out.reshape(x.shape)
 
 
 class Downsample(nn.Module):
@@ -141,9 +144,10 @@ class Downsample(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+        sd = x.ndim - 2
+        x = jnp.pad(x, ((0, 0), *(((0, 1),) * sd), (0, 0)))
         return nn.Conv(
-            self.channels, (3, 3), strides=(2, 2), padding="VALID",
+            self.channels, (3,) * sd, strides=(2,) * sd, padding="VALID",
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 
@@ -159,7 +163,7 @@ class Upsample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = upsample_nearest_2x(x)
         return nn.Conv(
-            self.channels, (3, 3), padding=1,
+            self.channels, (3,) * (x.ndim - 2), padding=1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv",
         )(x)
 
@@ -187,7 +191,7 @@ class Encoder(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
-        h = nn.Conv(self.channels[0], (3, 3), padding=1, name="conv_in", **p)(x)
+        h = nn.Conv(self.channels[0], (3,) * (x.ndim - 2), padding=1, name="conv_in", **p)(x)
         for level, ch in enumerate(self.channels):
             for block in range(self.num_res_blocks[level]):
                 h = ResBlock(ch, name=f"down_{level}_res_{block}", **rb)(h)
@@ -217,7 +221,7 @@ class Encoder(nn.Module):
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
             name="norm_out",
         )(h)
-        return nn.Conv(self.latent_channels, (3, 3), padding=1, name="conv_out", **p)(h)
+        return nn.Conv(self.latent_channels, (3,) * (h.ndim - 2), padding=1, name="conv_out", **p)(h)
 
 
 class Decoder(nn.Module):
@@ -247,7 +251,7 @@ class Decoder(nn.Module):
         rev_res_blocks = list(reversed(self.num_res_blocks))
         rev_attention = list(reversed(self.attention_levels))
 
-        h = nn.Conv(rev_channels[0], (3, 3), padding=1, name="conv_in", **p)(z)
+        h = nn.Conv(rev_channels[0], (3,) * (z.ndim - 2), padding=1, name="conv_in", **p)(z)
         if self.with_nonlocal_attn:
             h = ResBlock(rev_channels[0], name="mid_res_1", **rb)(h)
             h = SpatialAttentionBlock(
@@ -277,7 +281,7 @@ class Decoder(nn.Module):
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
             name="norm_out",
         )(h)
-        return nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out", **p)(h)
+        return nn.Conv(self.out_channels, (3,) * (h.ndim - 2), padding=1, name="conv_out", **p)(h)
 
 
 class AutoencoderKL(nn.Module):
@@ -313,8 +317,8 @@ class AutoencoderKL(nn.Module):
     param_dtype: Any = jnp.float32
 
     def setup(self) -> None:
-        if self.spatial_dims != 2:
-            raise NotImplementedError("TPU build currently implements spatial_dims=2")
+        if self.spatial_dims not in (1, 2, 3):
+            raise ValueError(f"spatial_dims must be 1, 2, or 3, got {self.spatial_dims}")
         attn_pallas = (
             jax.default_backend() == "tpu"
             if self.use_pallas_attention is None
@@ -357,16 +361,17 @@ class AutoencoderKL(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
+        k1 = (1,) * self.spatial_dims
         self.quant_conv_mu = nn.Conv(
-            self.latent_channels, (1, 1),
+            self.latent_channels, k1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype,
         )
         self.quant_conv_log_sigma = nn.Conv(
-            self.latent_channels, (1, 1),
+            self.latent_channels, k1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype,
         )
         self.post_quant_conv = nn.Conv(
-            self.latent_channels, (1, 1),
+            self.latent_channels, k1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype,
         )
 

@@ -1,4 +1,4 @@
-"""PatchGAN discriminator (NHWC, Flax).
+"""PatchGAN discriminator (channel-last, Flax; spatial_dims 1/2/3).
 
 Equivalent of MONAI ``PatchDiscriminator(num_layers_d=3, channels=32,
 in_channels=1, out_channels=1, norm="INSTANCE")`` as constructed by the
@@ -44,11 +44,11 @@ class PatchDiscriminator(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> list[jnp.ndarray]:
-        if self.spatial_dims != 2:
-            raise NotImplementedError("TPU build currently implements spatial_dims=2")
-        k = self.kernel_size
+        if self.spatial_dims not in (1, 2, 3):
+            raise ValueError(f"spatial_dims must be 1, 2, or 3, got {self.spatial_dims}")
+        sd = self.spatial_dims
         conv_kw = dict(
-            kernel_size=(k, k),
+            kernel_size=(self.kernel_size,) * sd,
             padding=1,
             kernel_init=nn.initializers.normal(0.02),
             dtype=self.compute_dtype,
@@ -58,26 +58,26 @@ class PatchDiscriminator(nn.Module):
         h = x.astype(self.compute_dtype)
 
         # Initial: conv + LeakyReLU (no norm — pix2pix convention).
-        h = nn.Conv(self.channels, strides=(2, 2), name="conv_0", **conv_kw)(h)
+        h = nn.Conv(self.channels, strides=(2,) * sd, name="conv_0", **conv_kw)(h)
         h = nn.leaky_relu(h, self.negative_slope)
         features.append(h)
 
         ch = self.channels
         for layer in range(1, self.num_layers_d):
             ch *= 2
-            h = nn.Conv(ch, strides=(2, 2), use_bias=False, name=f"conv_{layer}", **conv_kw)(h)
+            h = nn.Conv(ch, strides=(2,) * sd, use_bias=False, name=f"conv_{layer}", **conv_kw)(h)
             h = instance_norm(h)
             h = nn.leaky_relu(h, self.negative_slope)
             features.append(h)
 
         # Penultimate: stride-1 conv + norm + act.
         ch *= 2
-        h = nn.Conv(ch, strides=(1, 1), use_bias=False, name="conv_penultimate", **conv_kw)(h)
+        h = nn.Conv(ch, strides=(1,) * sd, use_bias=False, name="conv_penultimate", **conv_kw)(h)
         h = instance_norm(h)
         h = nn.leaky_relu(h, self.negative_slope)
         features.append(h)
 
         # Final logits map.
-        h = nn.Conv(self.out_channels, strides=(1, 1), name="conv_final", **conv_kw)(h)
+        h = nn.Conv(self.out_channels, strides=(1,) * sd, name="conv_final", **conv_kw)(h)
         features.append(h.astype(jnp.float32))
         return features

@@ -63,20 +63,21 @@ class TimeResBlock(nn.Module):
     def __call__(self, x: jnp.ndarray, temb: jnp.ndarray) -> jnp.ndarray:
         conv_kw = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         in_channels = x.shape[-1]
+        k3 = (3,) * (x.ndim - 2)
         scale1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
         bias1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
         h = group_norm_silu(x, scale1, bias1, num_groups=self.norm_num_groups, eps=self.norm_eps)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", **conv_kw)(h)
+        h = nn.Conv(self.out_channels, k3, padding=1, name="conv1", **conv_kw)(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", **conv_kw)(
             jax.nn.silu(temb.astype(self.compute_dtype))
         )
-        h = h + t[:, None, None, :]
+        h = h + t.reshape(t.shape[0], *((1,) * (x.ndim - 2)), t.shape[-1])
         scale2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         bias2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
         h = group_norm_silu(h, scale2, bias2, num_groups=self.norm_num_groups, eps=self.norm_eps)
-        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", **conv_kw)(h)
+        h = nn.Conv(self.out_channels, k3, padding=1, name="conv2", **conv_kw)(h)
         if in_channels != self.out_channels:
-            x = nn.Conv(self.out_channels, (1, 1), name="skip", **conv_kw)(x)
+            x = nn.Conv(self.out_channels, (1,) * (x.ndim - 2), name="skip", **conv_kw)(x)
         return x + h
 
 
@@ -142,17 +143,18 @@ class SpatialTransformer(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, context: jnp.ndarray | None) -> jnp.ndarray:
-        b, h, w, c = x.shape
+        b, c = x.shape[0], x.shape[-1]
+        k1 = (1,) * (x.ndim - 2)
         kw = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         scale = self.param("norm_scale", nn.initializers.ones, (c,))
         bias = self.param("norm_bias", nn.initializers.zeros, (c,))
         hidden = group_norm(x, scale, bias, num_groups=self.norm_num_groups, eps=self.norm_eps)
-        hidden = nn.Conv(c, (1, 1), name="proj_in", **kw)(hidden).reshape(b, h * w, c)
+        hidden = nn.Conv(c, k1, name="proj_in", **kw)(hidden).reshape(b, -1, c)
         hidden = TransformerBlock(
             num_heads=self.num_heads, cross_attention_dim=self.cross_attention_dim,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name="block",
         )(hidden, context)
-        hidden = nn.Conv(c, (1, 1), name="proj_out", **kw)(hidden.reshape(b, h, w, c))
+        hidden = nn.Conv(c, k1, name="proj_out", **kw)(hidden.reshape(x.shape))
         return x + hidden
 
 
@@ -182,9 +184,11 @@ class DiffusionUNet(nn.Module):
         timesteps: jnp.ndarray,
         context: jnp.ndarray | None = None,
     ) -> jnp.ndarray:
-        """Predict noise for noisy latents ``x`` [B, H, W, C] at ``timesteps``."""
-        if self.spatial_dims != 2:
-            raise NotImplementedError("TPU build currently implements spatial_dims=2")
+        """Predict noise for noisy channel-last latents ``x`` (any spatial
+        rank matching ``spatial_dims``) at ``timesteps``."""
+        if self.spatial_dims not in (1, 2, 3):
+            raise ValueError(f"spatial_dims must be 1, 2, or 3, got {self.spatial_dims}")
+        k3 = (3,) * self.spatial_dims
         kw = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         ctx = context if self.with_conditioning else None
 
@@ -193,7 +197,7 @@ class DiffusionUNet(nn.Module):
         temb = nn.Dense(temb_dim, name="time_mlp_1", **kw)(temb)
         temb = nn.Dense(temb_dim, name="time_mlp_2", **kw)(jax.nn.silu(temb))
 
-        h = nn.Conv(self.channels[0], (3, 3), padding=1, name="conv_in", **kw)(
+        h = nn.Conv(self.channels[0], k3, padding=1, name="conv_in", **kw)(
             x.astype(self.compute_dtype)
         )
         skips = [h]
@@ -214,7 +218,7 @@ class DiffusionUNet(nn.Module):
                     )(h, ctx)
                 skips.append(h)
             if level != len(self.channels) - 1:
-                h = nn.Conv(ch, (3, 3), strides=(2, 2), padding=1,
+                h = nn.Conv(ch, k3, strides=(2,) * self.spatial_dims, padding=1,
                             name=f"down_{level}_downsample", **kw)(h)
                 skips.append(h)
 
@@ -251,12 +255,12 @@ class DiffusionUNet(nn.Module):
                     )(h, ctx)
             if level != 0:
                 h = upsample_nearest_2x(h)
-                h = nn.Conv(ch, (3, 3), padding=1, name=f"up_{level}_upsample", **kw)(h)
+                h = nn.Conv(ch, k3, padding=1, name=f"up_{level}_upsample", **kw)(h)
 
         scale = self.param("norm_out_scale", nn.initializers.ones, (h.shape[-1],))
         bias = self.param("norm_out_bias", nn.initializers.zeros, (h.shape[-1],))
         h = group_norm_silu(h, scale, bias, num_groups=self.norm_num_groups, eps=self.norm_eps)
-        out = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv_out", **kw)(h)
+        out = nn.Conv(self.out_channels, k3, padding=1, name="conv_out", **kw)(h)
         return out.astype(jnp.float32)
 
 
@@ -272,10 +276,10 @@ class ConditionProjector(nn.Module):
 
 
 def project_latent_condition(projector_apply, latent_nhwc: jnp.ndarray) -> jnp.ndarray:
-    """Latent [B, H, W, C] -> tokens [B, HW, C] -> context
-    (reference conditioning recipe, ``models/README.md:113-126``)."""
-    b, h, w, c = latent_nhwc.shape
-    tokens = latent_nhwc.reshape(b, h * w, c)
+    """Channel-last latent [B, *spatial, C] -> tokens [B, prod(spatial), C] ->
+    context (reference conditioning recipe, ``models/README.md:113-126``)."""
+    b, c = latent_nhwc.shape[0], latent_nhwc.shape[-1]
+    tokens = latent_nhwc.reshape(b, -1, c)
     return projector_apply(tokens)
 
 

@@ -27,14 +27,17 @@ def group_norm(
     num_groups: int,
     eps: float = 1e-6,
 ) -> jnp.ndarray:
-    """GroupNorm over NHWC input; statistics in f32 regardless of input dtype."""
-    b, h, w, c = x.shape
+    """GroupNorm over channel-last input of any spatial rank (N..C);
+    statistics in f32 regardless of input dtype."""
+    c = x.shape[-1]
+    spatial = x.shape[1:-1]
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
-    xg = x.astype(jnp.float32).reshape(b, h, w, num_groups, c // num_groups)
-    mean = jnp.mean(xg, axis=(1, 2, 4), keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=(1, 2, 4), keepdims=True)
-    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(b, h, w, c)
+    xg = x.astype(jnp.float32).reshape(x.shape[0], *spatial, num_groups, c // num_groups)
+    axes = tuple(range(1, 1 + len(spatial))) + (xg.ndim - 1,)
+    mean = jnp.mean(xg, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+    xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
     out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(x.dtype)
 
@@ -48,12 +51,12 @@ def group_norm_silu(
     eps: float = 1e-6,
     use_pallas: bool = False,
 ) -> jnp.ndarray:
-    """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel."""
-    b, h, w, c = x.shape
+    """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel
+    (4-D NHWC only; other ranks use the XLA formulation)."""
     # The Pallas kernel keeps one whole image in VMEM; above ~1.5M elements
     # (input + output + f32 stats temp > ~12 MB) it cannot fit — fall back to
     # the XLA formulation for those (only the first encoder level at 256^2).
-    if use_pallas and h * w * c <= 1_572_864:
+    if use_pallas and x.ndim == 4 and x.shape[1] * x.shape[2] * x.shape[3] <= 1_572_864:
         from .pallas.groupnorm_silu import groupnorm_silu_pallas
 
         return groupnorm_silu_pallas(x, scale, bias, num_groups, eps)
@@ -69,15 +72,17 @@ def instance_norm(
     scale: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
-    """InstanceNorm2d over NHWC (per-sample, per-channel spatial stats).
+    """InstanceNorm over channel-last input of any spatial rank (per-sample,
+    per-channel spatial stats).
 
-    Matches ``torch.nn.InstanceNorm2d`` defaults (``affine=False``,
+    Matches ``torch.nn.InstanceNorm{2,3}d`` defaults (``affine=False``,
     ``track_running_stats=False``) as used by the reference's
     PatchDiscriminator (``train_vae.py:268-275``, norm="INSTANCE").
     """
     xf = x.astype(jnp.float32)
-    mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
-    var = jnp.mean(jnp.square(xf - mean), axis=(1, 2), keepdims=True)
+    axes = tuple(range(1, x.ndim - 1))
+    mean = jnp.mean(xf, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(xf - mean), axis=axes, keepdims=True)
     out = (xf - mean) / jnp.sqrt(var + eps)
     if scale is not None:
         out = out * scale.astype(jnp.float32)

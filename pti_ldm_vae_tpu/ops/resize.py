@@ -82,9 +82,18 @@ def resize_area(x: jnp.ndarray, out_hw: tuple[int, int]) -> jnp.ndarray:
 
 
 def upsample_nearest_2x(x: jnp.ndarray) -> jnp.ndarray:
-    """Nearest-neighbour x2 upsampling on NHWC, matching
-    ``F.interpolate(scale_factor=2, mode="nearest")`` (MONAI decoder upsample).
+    """Nearest-neighbour x2 upsampling on channel-last input of any spatial
+    rank, matching ``F.interpolate(scale_factor=2, mode="nearest")`` (MONAI
+    decoder upsample).
     """
-    b, h, w, c = x.shape
-    x = jnp.broadcast_to(x[:, :, None, :, None, :], (b, h, 2, w, 2, c))
-    return x.reshape(b, h * 2, w * 2, c)
+    spatial = x.shape[1:-1]
+    # interleave a broadcast axis of size 2 after every spatial axis
+    expand = [x.shape[0]]
+    idx = [slice(None)]
+    for s in spatial:
+        expand += [s, 2]
+        idx += [slice(None), None]
+    expand.append(x.shape[-1])
+    idx.append(slice(None))
+    x = jnp.broadcast_to(x[tuple(idx)], tuple(expand))
+    return x.reshape(x.shape[0], *(2 * s for s in spatial), expand[-1])
