@@ -1,26 +1,34 @@
 #!/usr/bin/env python
-"""Conv-roofline accounting for the encode+decode path (BASELINE.md target:
+"""Conv-roofline accounting for the VAE workload (BASELINE.md target:
 ">=95% of conv roofline per chip").
 
 "Conv roofline" is made measurable as: the sum over every convolution in the
 compiled program of that conv's *standalone best-case* execution time on this
-chip (same shapes/dtypes/strides, XLA's conv emitter, chained dispatch with a
-forcing read). That floor accounts for the fact that small-channel convs
-cannot reach the MXU's dense bf16 peak no matter how they are scheduled (see
-docs/ARCHITECTURE.md "Conv-kernel exploration"): it is the practical per-chip
-envelope for THIS architecture, not a marketing peak.
+chip (same shapes/layouts/strides/dilations, XLA's conv emitter, chained
+dispatch with a forcing read). That floor accounts for the fact that
+small-channel convs cannot reach the MXU's dense bf16 peak no matter how they
+are scheduled (docs/ARCHITECTURE.md "Conv-kernel exploration"): it is the
+practical per-chip envelope for THIS architecture, not a marketing peak.
 
 Method:
-1. lower the jitted encode+decode program, parse every `stablehlo.convolution`
-   (shapes, strides, feature-group count) from the StableHLO text,
-2. microbench each unique conv spec standalone (K chained iterations, final
-   device->host read — the tunnel's block_until_ready is async),
-3. conv_floor = sum(flops_i / achieved_i); report measured step time vs floor
-   (conv_roofline_util = floor / measured, i.e. 1.0 == every conv runs as
-   fast in the full program as it ever runs alone AND nothing else costs
-   time; non-conv ops make <1.0 expected).
+1. lower the jitted program (encode+decode, or the full train step with
+   ``--mode train``), parse every ``stablehlo.convolution`` — shapes, strides,
+   padding, lhs/rhs dilation, group counts, and arbitrary dim_numbers (the
+   backward pass emits input-grad convs with reversed/dilated kernels and
+   filter-grad convs with batch<->feature swapped layouts),
+2. microbench each unique conv spec standalone. Two measurement details are
+   load-bearing on this tunnel (async dispatch, ~25 ms round-trip):
+   iteration counts adapt until the window dwarfs the RTT, and the loop body
+   consumes the WHOLE output via a fused sum + feeds a compile-opaque scalar
+   back into the input (consuming one element lets XLA narrow the conv to
+   that element; a 0.0-scaled feedback constant-folds and the conv hoists
+   out of the loop — both observed),
+3. conv_floor = sum(t_i * count_i); conv_roofline_util = floor / measured
+   step time (1.0 == every conv runs as fast in the full program as it ever
+   runs alone AND everything else is free; non-conv ops push it below 1).
 
-Usage: python tools/conv_roofline.py [--batch 8] [--json out.json]
+Usage: python tools/conv_roofline.py [--mode inference|train] [--batch 8]
+       [--json out.json]
 """
 
 from __future__ import annotations
@@ -44,160 +52,289 @@ _CACHE = os.path.join(
 jax.config.update("jax_compilation_cache_dir", _CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-def _shape(name: str) -> str:
-    return rf"tensor<(?P<{name}>[0-9x]+)x(?P<{name}_dt>f32|bf16|f16)>"
-
-
 _CONV_RE = re.compile(
     r"stablehlo\.convolution\(.*?\)\s*"
-    r"dim_numbers\s*=\s*\[b,\s*0,\s*1,\s*f\]x\[0,\s*1,\s*i,\s*o\]->\[b,\s*0,\s*1,\s*f\],\s*"
-    r"window\s*=\s*\{(?P<window>[^}]*)\}.*?"
-    r"feature_group_count\s*=\s*(?P<fg>\d+).*?"
-    r":\s*\(" + _shape("xin") + r",\s*" + _shape("ker") + r"\)\s*->\s*" + _shape("out"),
+    r"dim_numbers\s*=\s*\[(?P<lhs>[^\]]*)\]x\[(?P<rhs>[^\]]*)\]->\[(?P<out>[^\]]*)\],\s*"
+    r"window\s*=\s*\{(?P<window>[^}]*)\}(?P<rest>.*?)"
+    r":\s*\(tensor<(?P<xin>[0-9x]+)x(?P<xin_dt>f32|bf16|f16)>,\s*"
+    r"tensor<(?P<ker>[0-9x]+)x(?P<ker_dt>f32|bf16|f16)>\)\s*->\s*"
+    r"tensor<(?P<out_sh>[0-9x]+)x(?P<out_dt>f32|bf16|f16)>",
     re.DOTALL,
 )
-_STRIDE_RE = re.compile(r"stride\s*=\s*\[(\d+),\s*(\d+)\]")
+
+
+def _pairs(window: str, name: str, n: int) -> list:
+    m = re.search(rf"{name}\s*=\s*\[(.*?)\]\]", window)
+    if not m:
+        return [[0, 0]] * n if name == "pad" else None
+    return json.loads("[" + m.group(1) + "]]")
+
+
+def _vec(window: str, name: str, n: int, default: int) -> tuple:
+    m = re.search(rf"{name}\s*=\s*\[([0-9,\s]*)\]", window)
+    if not m:
+        return (default,) * n
+    return tuple(int(v) for v in m.group(1).split(","))
+
+
+def _positions(spec: str, batch_ch: str, feat_ch: str) -> tuple:
+    """'b, 0, 1, f' -> (batch_pos, feat_pos, spatial_pos_in_order)."""
+    parts = [s.strip() for s in spec.split(",")]
+    spatial = sorted(
+        (int(p), i) for i, p in enumerate(parts) if p not in (batch_ch, feat_ch)
+    )
+    return (
+        parts.index(batch_ch),
+        parts.index(feat_ch),
+        tuple(i for _, i in spatial),
+    )
 
 
 def parse_convs(stablehlo_text: str) -> list[dict]:
-    """Extract every NHWC/HWIO convolution: shapes, stride, groups, dtype."""
+    """Every convolution: shapes, window config, dim numbers, groups, dtype."""
     convs = []
     for m in _CONV_RE.finditer(stablehlo_text):
         in_shape = [int(v) for v in m.group("xin").split("x")]
         k_shape = [int(v) for v in m.group("ker").split("x")]
-        out_shape = [int(v) for v in m.group("out").split("x")]
-        sm = _STRIDE_RE.search(m.group("window"))
-        stride = (int(sm.group(1)), int(sm.group(2))) if sm else (1, 1)
+        out_shape = [int(v) for v in m.group("out_sh").split("x")]
+        nsp = len(in_shape) - 2
+        window = m.group("window")
+        rest = m.group("rest")
+        fg = re.search(r"feature_group_count\s*=\s*(\d+)", rest)
+        bg = re.search(r"batch_group_count\s*=\s*(\d+)", rest)
+
+        lhs = _positions(m.group("lhs"), "b", "f")
+        rhs = _positions(m.group("rhs"), "i", "o")  # (i_pos, o_pos, spatial)
+        out = _positions(m.group("out"), "b", "f")
+        kernel_i = k_shape[rhs[0]]
+        kernel_spatial = [k_shape[i] for i in rhs[2]]
         convs.append({
             "in": in_shape, "kernel": k_shape, "out": out_shape,
-            "stride": stride, "groups": int(m.group("fg")),
+            "stride": _vec(window, "stride", nsp, 1),
+            "pad": _pairs(window, "pad", nsp),
+            "lhs_dilate": _vec(window, "lhs_dilate", nsp, 1),
+            "rhs_dilate": _vec(window, "rhs_dilate", nsp, 1),
+            "dims": (
+                (lhs[0], lhs[1], *lhs[2]),   # lhs: (batch, feature, *spatial)
+                (rhs[1], rhs[0], *rhs[2]),   # rhs: (out_feat, in_feat, *spatial)
+                (out[0], out[1], *out[2]),
+            ),
+            "groups": int(fg.group(1)) if fg else 1,
+            "batch_groups": int(bg.group(1)) if bg else 1,
             "dtype": m.group("xin_dt"),
-            # 2 * output elements * per-output MACs
-            "gflops": 2.0 * np.prod(out_shape) * k_shape[0] * k_shape[1]
-                      * k_shape[2] / 1e9,
+            "out_dtype": m.group("out_dt"),
+            "gflops": 2.0 * np.prod(out_shape) * np.prod(kernel_spatial)
+                      * kernel_i / 1e9,
         })
     return convs
 
 
 def _force(x) -> None:
-    np.asarray(jax.device_get(x.ravel()[0]))
+    np.asarray(jax.device_get(x.ravel()[0] if hasattr(x, "ravel") else x))
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return time.perf_counter() - t0
+
+
+_DTYPES = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}
 
 
 def bench_conv(spec: dict, iters: int = 30, windows: int = 3) -> float:
     """Standalone best-case seconds for one conv spec (min over windows)."""
-    dtype = {"f32": jnp.float32, "bf16": jnp.bfloat16, "f16": jnp.float16}[spec["dtype"]]
+    dtype = _DTYPES[spec["dtype"]]
+    out_dtype = _DTYPES[spec["out_dtype"]]
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(spec["in"]).astype(np.float32)).astype(dtype)
-    k = jnp.asarray(rng.standard_normal(spec["kernel"]).astype(np.float32) * 0.05).astype(dtype)
-    pad = "SAME" if spec["out"][1] * spec["stride"][0] >= spec["in"][1] else "VALID"
+    k = jnp.asarray(
+        (rng.standard_normal(spec["kernel"]) * 0.05).astype(np.float32)
+    ).astype(dtype)
+    dims = jax.lax.ConvDimensionNumbers(*[tuple(d) for d in spec["dims"]])
 
     def one(x_in):
         return jax.lax.conv_general_dilated(
-            x_in, k, window_strides=spec["stride"], padding=pad,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            x_in, k,
+            window_strides=spec["stride"],
+            padding=[tuple(p) for p in spec["pad"]],
+            lhs_dilation=spec["lhs_dilate"],
+            rhs_dilation=spec["rhs_dilate"],
+            dimension_numbers=dims,
             feature_group_count=spec["groups"],
-            preferred_element_type=dtype,
+            batch_group_count=spec["batch_groups"],
+            preferred_element_type=out_dtype,
         )
 
     @jax.jit
     def chain(x_in, n):
         def body(_, carry):
             x_c, acc = carry
-            out = one(x_c)
-            # fold a scalar of the output back into the input: data-dependent
-            # chain at negligible cost, shapes stay static
-            scale = (1.0 + 0.0 * out.ravel()[0]).astype(dtype)
-            return x_c * scale, acc + out.ravel()[0].astype(jnp.float32)
+            s = jnp.sum(one(x_c).astype(jnp.float32))
+            feedback = (s * 1e-20).astype(dtype)
+            return x_c + feedback, acc + s
         _, acc = jax.lax.fori_loop(0, n, body, (x_in, jnp.zeros((), jnp.float32)))
         return acc
 
     _force(chain(x, 2))  # compile
+    # The tunnel round-trip is ~25 ms with several ms of variance; for fast
+    # kernels it swamps the window unless the chain is long enough. Estimate
+    # the per-iteration cost NET of overhead first (scaling the raw window
+    # would target the RTT, not the compute), then size the chain for
+    # >=0.5 s of pure compute so RTT variance is <2% error.
+    overhead = min(
+        _timed(lambda: _force(chain(x, 0))) for _ in range(3)
+    )
+    probe = max(_timed(lambda: _force(chain(x, iters))) - overhead, 0.0)
+    per_iter_est = max(probe / iters, 2e-7)
+    iters = min(max(iters, int(0.5 / per_iter_est)), 100_000)
+
     best = float("inf")
     for _ in range(windows):
-        t0 = time.perf_counter()
-        _force(chain(x, iters))
-        best = min(best, (time.perf_counter() - t0) / iters)
+        elapsed = _timed(lambda: _force(chain(x, iters))) - overhead
+        best = min(best, max(elapsed, 1e-9) / iters)
     return best
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--iters", type=int, default=30)
-    ap.add_argument("--json", default=None)
-    args = ap.parse_args()
+def _measure_program(run_chain, iters: int) -> float:
+    _force(run_chain(2))
+    overhead = min(_timed(lambda: _force(run_chain(0))) for _ in range(3))
+    best = float("inf")
+    for _ in range(3):
+        elapsed = _timed(lambda: _force(run_chain(iters))) - overhead
+        best = min(best, max(elapsed, 1e-9) / iters)
+    return best
 
+
+CONFIG = {
+    "spatial_dims": 2, "in_channels": 1, "out_channels": 1, "latent_channels": 4,
+    "channels": [32, 64, 128, 128], "num_res_blocks": 2, "norm_num_groups": 16,
+    "norm_eps": 1e-6, "attention_levels": [False, False, False, False],
+    "with_encoder_nonlocal_attn": True, "with_decoder_nonlocal_attn": True,
+}
+
+
+def build_inference(batch: int):
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.train.steps import make_inference_fn
 
-    config = {
-        "spatial_dims": 2, "in_channels": 1, "out_channels": 1, "latent_channels": 4,
-        "channels": [32, 64, 128, 128], "num_res_blocks": 2, "norm_num_groups": 16,
-        "norm_eps": 1e-6, "attention_levels": [False, False, False, False],
-        "with_encoder_nonlocal_attn": True, "with_decoder_nonlocal_attn": True,
-    }
     on_tpu = jax.default_backend() == "tpu"
     model = autoencoder_from_config(
-        config, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
     )
-    images = jnp.zeros((args.batch, 256, 256, 1), jnp.float32)
+    images = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
     infer = make_inference_fn(model)
+    lowered = infer.lower(params, images)
 
-    txt = infer.lower(params, images).as_text()
-    convs = parse_convs(txt)
-    if not convs:
-        raise SystemExit("no convolutions parsed from the lowered program")
-
-    # unique specs with multiplicity
-    uniq: dict[tuple, dict] = {}
-    for c in convs:
-        key = (tuple(c["in"]), tuple(c["kernel"]), tuple(c["out"]),
-               c["stride"], c["groups"], c["dtype"])
-        entry = uniq.setdefault(key, {**c, "count": 0})
-        entry["count"] += 1
-
-    total_conv_gflops = sum(c["gflops"] * c["count"] for c in uniq.values())
-    print(f"# {len(convs)} convs ({len(uniq)} unique shapes), "
-          f"{total_conv_gflops:.1f} GFLOP conv work per step", flush=True)
-
-    floor_s = 0.0
-    rows = []
-    for c in sorted(uniq.values(), key=lambda c: -c["gflops"] * c["count"]):
-        t = bench_conv(c, iters=args.iters)
-        tfs = c["gflops"] / t / 1e3
-        floor_s += t * c["count"]
-        rows.append({
-            "in": c["in"], "kernel": c["kernel"], "stride": list(c["stride"]),
-            "count": c["count"], "gflops": round(c["gflops"], 3),
-            "standalone_ms": round(t * 1e3, 3), "standalone_tflops": round(tfs, 1),
-        })
-        print(f"  {str(c['in']):>22} * {str(c['kernel']):>18} s{c['stride']} "
-              f"x{c['count']}: {t*1e3:7.3f} ms @ {tfs:6.1f} TF/s", flush=True)
-
-    # measured end-to-end inference step (same forcing protocol)
     def run_chain(iters):
         out = images
         for _ in range(iters):
             out = infer(params, out)
         return out
 
-    _force(run_chain(2))
-    iters = args.iters
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        _force(run_chain(iters))
-        best = min(best, (time.perf_counter() - t0) / iters)
+    return lowered, run_chain
 
-    util = floor_s / best
+
+def build_train(batch: int):
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.train.state import create_train_state
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+
+    on_tpu = jax.default_backend() == "tpu"
+    model = autoencoder_from_config(
+        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
+    )
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(batch, 256, 256, 1)).astype(np.float32)
+    )
+    mask = jnp.ones((batch,), jnp.float32)
+    params_g = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
+    state = create_train_state(params_g, lr=2.5e-5)
+    lpips_params = init_lpips_params()
+    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+                      adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True)
+    step = make_train_step(model, None, lcfg, adv_active=False, donate=False)
+    lowered = step.lower(state, images, mask, {}, lpips_params, jax.random.key(2))
+
+    holder = {"state": state, "key": jax.random.key(3)}
+
+    def run_chain(iters):
+        for _ in range(iters):
+            holder["key"], sub = jax.random.split(holder["key"])
+            holder["state"], _ = step(
+                holder["state"], images, mask, {}, lpips_params, sub
+            )
+        return holder["state"].params_g["params"]["quant_conv_mu"]["bias"]
+
+    return lowered, run_chain
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mode", choices=("inference", "train"), default="inference")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--json", default=None)
+    args = ap.parse_args()
+
+    lowered, run_chain = (
+        build_inference(args.batch) if args.mode == "inference"
+        else build_train(args.batch)
+    )
+    convs = parse_convs(lowered.as_text())
+    if not convs:
+        raise SystemExit("no convolutions parsed from the lowered program")
+
+    uniq: dict[tuple, dict] = {}
+    for c in convs:
+        key = (tuple(c["in"]), tuple(c["kernel"]), tuple(c["out"]),
+               c["stride"], tuple(map(tuple, c["pad"])), c["lhs_dilate"],
+               c["rhs_dilate"], tuple(map(tuple, c["dims"])), c["groups"],
+               c["batch_groups"], c["dtype"])
+        entry = uniq.setdefault(key, {**c, "count": 0})
+        entry["count"] += 1
+
+    total_conv_gflops = sum(c["gflops"] * c["count"] for c in uniq.values())
+    print(f"# mode={args.mode} b{args.batch}: {len(convs)} convs "
+          f"({len(uniq)} unique), {total_conv_gflops:.1f} GFLOP conv work/step",
+          flush=True)
+
+    floor_s = 0.0
+    unbenched_gflops = 0.0
+    rows = []
+    for c in sorted(uniq.values(), key=lambda c: -c["gflops"] * c["count"]):
+        try:
+            t = bench_conv(c, iters=args.iters)
+        except Exception as exc:
+            unbenched_gflops += c["gflops"] * c["count"]
+            print(f"  UNBENCHED {c['in']}x{c['kernel']}: {type(exc).__name__}",
+                  flush=True)
+            continue
+        tfs = c["gflops"] / t / 1e3
+        floor_s += t * c["count"]
+        rows.append({
+            "in": c["in"], "kernel": c["kernel"], "out": c["out"],
+            "stride": list(c["stride"]), "count": c["count"],
+            "gflops": round(c["gflops"], 3),
+            "standalone_ms": round(t * 1e3, 4), "standalone_tflops": round(tfs, 1),
+        })
+        print(f"  {str(c['in']):>22} * {str(c['kernel']):>18} s{c['stride']} "
+              f"x{c['count']}: {t*1e3:8.4f} ms @ {tfs:6.1f} TF/s", flush=True)
+
+    measured = _measure_program(run_chain, args.iters)
+    util = floor_s / measured
     result = {
+        "mode": args.mode,
         "batch": args.batch,
         "hardware": jax.devices()[0].device_kind,
         "n_convs": len(convs),
         "conv_gflops_per_step": round(total_conv_gflops, 2),
+        "unbenched_gflops": round(unbenched_gflops, 2),
         "conv_floor_ms": round(floor_s * 1e3, 3),
-        "measured_step_ms": round(best * 1e3, 3),
+        "measured_step_ms": round(measured * 1e3, 3),
         "conv_roofline_util": round(util, 4),
         "convs": rows,
     }
