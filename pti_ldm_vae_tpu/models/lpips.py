@@ -40,6 +40,7 @@ __all__ = [
     "lpips_features",
     "lpips_distance",
     "lpips_distance_per_sample",
+    "lpips_distance_per_sample_3d",
 ]
 
 logger = logging.getLogger(__name__)
@@ -224,6 +225,14 @@ def lpips_distance_per_sample(
     compute_dtype: Any = jnp.float32,
 ) -> jnp.ndarray:
     """Per-sample [B] LPIPS distances (for masked batch means)."""
+    if min(x.shape[1], x.shape[2]) < 17:
+        # Below 17 px the trunk's third ceil-mode maxpool produces a
+        # zero-size map (torch LPIPS errors identically: "Output size is
+        # too small"); fail loudly instead of returning NaN.
+        raise ValueError(
+            f"LPIPS SqueezeNet trunk needs inputs >= 17 px per side, got "
+            f"{x.shape[1]}x{x.shape[2]}"
+        )
     x = ensure_three_channels(x.astype(jnp.float32))
     y = ensure_three_channels(y.astype(jnp.float32))
     fx = lpips_features(params, x, compute_dtype)
@@ -245,3 +254,34 @@ def lpips_distance(params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray) -> jn
     normalization; the reference feeds z-scored images as-is).
     """
     return jnp.mean(lpips_distance_per_sample(params, x, y))
+
+
+def lpips_distance_per_sample_3d(
+    params: dict[str, Any], x: jnp.ndarray, y: jnp.ndarray,
+    compute_dtype: Any = jnp.float32,
+) -> jnp.ndarray:
+    """Per-sample [B] "fake-3D" LPIPS for NDHWC volumes.
+
+    The 2-D backbone is applied to every axis-aligned slice and averaged —
+    the approach of MONAI ``PerceptualLoss(spatial_dims=3, is_fake_3d=True)``
+    (the reference only ever constructs the 2-D loss, ``train_vae.py:299``;
+    this is the 3-D extension of the same contract). Divergence from MONAI,
+    documented: MONAI subsamples a random ``fake_3d_ratio`` of slices each
+    call; here ALL slices are used, which is deterministic and keeps the
+    jitted step shape-static. Loss = mean over the three slicing axes of the
+    per-axis mean slice distance.
+    """
+    if x.ndim != 5:
+        raise ValueError(f"expected NDHWC volume, got shape {x.shape}")
+    b = x.shape[0]
+    total = jnp.zeros((b,), jnp.float32)
+    for axis in (1, 2, 3):
+        # move the slicing axis next to batch, fold it in, run 2-D LPIPS
+        xs = jnp.moveaxis(x, axis, 1)
+        ys = jnp.moveaxis(y, axis, 1)
+        n = xs.shape[1]
+        xs = xs.reshape(b * n, *xs.shape[2:])
+        ys = ys.reshape(b * n, *ys.shape[2:])
+        per_slice = lpips_distance_per_sample(params, xs, ys, compute_dtype)
+        total = total + jnp.mean(per_slice.reshape(b, n), axis=1)
+    return total / 3.0

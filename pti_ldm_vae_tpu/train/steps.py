@@ -32,7 +32,7 @@ import jax.numpy as jnp
 
 from ..losses.ar_vae import ARVaeSpec, compute_ar_vae_loss
 from ..losses.composite import compute_total_loss
-from ..models.lpips import lpips_distance_per_sample
+from ..models.lpips import lpips_distance_per_sample, lpips_distance_per_sample_3d
 from .state import GanTrainState
 
 __all__ = ["LossConfig", "make_train_step", "make_eval_step", "make_inference_fn"]
@@ -95,9 +95,15 @@ def _generator_losses(
     if lcfg.use_perceptual:
         # LPIPS trunk follows the model's precision policy (bf16 on TPU);
         # the per-tap normalize/weight accumulation inside stays f32.
+        # 5-D (NDHWC) inputs take the fake-3D slicing path (the MONAI
+        # spatial_dims=3 PerceptualLoss approach; models/lpips.py).
         lpips_dtype = getattr(model, "compute_dtype", jnp.float32)
+        lpips_fn = (
+            lpips_distance_per_sample_3d if recon.ndim == 5
+            else lpips_distance_per_sample
+        )
         p_loss = _masked_mean(
-            lpips_distance_per_sample(lpips_params, recon, images, lpips_dtype), mask
+            lpips_fn(lpips_params, recon, images, lpips_dtype), mask
         )
     else:
         p_loss = jnp.zeros((), jnp.float32)

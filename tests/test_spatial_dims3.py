@@ -250,3 +250,58 @@ def test_discriminator_3d_patch_output():
     feats = disc.apply(params, x)
     assert feats[-1].shape == (2, 2, 2, 2, 1)  # patch logits map
     assert len(feats) == 4
+
+
+def test_lpips_fake3d_matches_manual_slicing():
+    """Fake-3D LPIPS == mean over the three axes of per-axis mean 2-D slice
+    distance (all slices, deterministic — documented divergence from MONAI's
+    random fake_3d_ratio subsampling)."""
+    from pti_ldm_vae_tpu.models.lpips import (
+        init_lpips_params,
+        lpips_distance_per_sample,
+        lpips_distance_per_sample_3d,
+    )
+
+    params = init_lpips_params()
+    rng = np.random.default_rng(7)
+    # slices must be >= 17 px per side (the trunk's pooling floor)
+    x = jnp.asarray(rng.standard_normal((2, 18, 20, 22, 1)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((2, 18, 20, 22, 1)).astype(np.float32))
+    got = lpips_distance_per_sample_3d(params, x, y)
+    assert got.shape == (2,)
+
+    manual = np.zeros(2, np.float32)
+    for axis in (1, 2, 3):
+        xs = np.moveaxis(np.asarray(x), axis, 1)
+        ys = np.moveaxis(np.asarray(y), axis, 1)
+        per_axis = np.zeros(2, np.float32)
+        for b in range(2):
+            d = lpips_distance_per_sample(
+                params, jnp.asarray(xs[b]), jnp.asarray(ys[b])
+            )
+            per_axis[b] = float(np.mean(np.asarray(d)))
+        manual += per_axis
+    manual /= 3.0
+    np.testing.assert_allclose(np.asarray(got), manual, rtol=1e-4, atol=1e-5)
+
+
+def test_train_step_3d_runs():
+    """One full jitted VAE train step (L1+KL+fake-3D LPIPS) on NDHWC volumes."""
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.train.state import create_train_state
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+
+    model = _model3()
+    x = jnp.asarray(
+        np.random.default_rng(8).uniform(0.1, 1.0, (1, 32, 32, 32, 1)).astype(np.float32)
+    )
+    params_g = model.init(jax.random.key(0), x, jax.random.key(1))
+    state = create_train_state(params_g, lr=1e-4)
+    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+                      adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True)
+    step = make_train_step(model, None, lcfg, adv_active=False, donate=False)
+    mask = jnp.ones((1,), jnp.float32)
+    new_state, metrics = step(state, x, mask, {}, init_lpips_params(), jax.random.key(2))
+    for key, val in metrics.items():
+        assert np.isfinite(float(val)), key
+    assert int(new_state.step) == 1
