@@ -287,6 +287,22 @@ def main() -> None:
 
     ddim = bench_ddim(peak_tf, peak_bw)
 
+    # Conv-roofline position, recorded (not re-measured here — the per-conv
+    # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
+    # reproduces it). See docs/ARCHITECTURE.md "Conv-roofline position".
+    roofline = {}
+    doc_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for name, key in (
+        ("conv_roofline_v5e_infer_b8.json", "inference_b8"),
+        ("conv_roofline_v5e_infer_b128.json", "inference_b128"),
+        ("conv_roofline_v5e_train_b8.json", "train_b8"),
+    ):
+        path = os.path.join(doc_dir, name)
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+            roofline[key] = rec["conv_roofline_util"]
+
     imgs_per_sec = train_b8["imgs_per_sec"]
     print(json.dumps({
         "metric": "vae_train_step_throughput_256px_b8",
@@ -302,6 +318,7 @@ def main() -> None:
         "inference_encode_decode_b8": infer_b8,
         "inference_encode_decode_best": {"batch": best_batch, **infer_best},
         "ddim": ddim,
+        "conv_roofline_util_recorded": roofline,
         "measurement": (
             f"best of {WINDOWS} windows x {ITERS} chained steps; every window "
             "ends with a device->host transfer forcing execution (tunnel "
