@@ -14,6 +14,7 @@ operates on flattened tokens) and is covered by the 2-D mirror tests.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -221,16 +222,17 @@ def test_autoencoder_3d_converter_roundtrip():
         np.testing.assert_array_equal(np.asarray(a[key]), np.asarray(b[key]), err_msg=key)
 
 
+@pytest.mark.slow
 def test_unet_3d_forward_and_grads_finite():
     unet = DiffusionUNet(
-        spatial_dims=3, in_channels=2, out_channels=2, channels=(4, 8),
-        attention_levels=(False, True), num_head_channels=(0, 4),
-        num_res_blocks=1, with_conditioning=True, cross_attention_dim=8,
+        spatial_dims=3, in_channels=2, out_channels=2, channels=(2, 4),
+        attention_levels=(False, True), num_head_channels=(0, 2),
+        num_res_blocks=1, with_conditioning=True, cross_attention_dim=4,
         norm_num_groups=2,
     )
-    x = jnp.ones((2, 8, 8, 8, 2))
-    t = jnp.asarray([0, 5], jnp.int32)
-    ctx = jnp.ones((2, 3, 8))
+    x = jnp.ones((1, 4, 4, 4, 2))
+    t = jnp.asarray([3], jnp.int32)
+    ctx = jnp.ones((1, 3, 4))
     params = unet.init(jax.random.key(0), x, t, ctx)
     out = unet.apply(params, x, t, ctx)
     assert out.shape == x.shape
@@ -252,6 +254,7 @@ def test_discriminator_3d_patch_output():
     assert len(feats) == 4
 
 
+@pytest.mark.slow
 def test_lpips_fake3d_matches_manual_slicing():
     """Fake-3D LPIPS == mean over the three axes of per-axis mean 2-D slice
     distance (all slices, deterministic — documented divergence from MONAI's
@@ -265,24 +268,19 @@ def test_lpips_fake3d_matches_manual_slicing():
     params = init_lpips_params()
     rng = np.random.default_rng(7)
     # slices must be >= 17 px per side (the trunk's pooling floor)
-    x = jnp.asarray(rng.standard_normal((2, 18, 20, 22, 1)).astype(np.float32))
-    y = jnp.asarray(rng.standard_normal((2, 18, 20, 22, 1)).astype(np.float32))
+    x = jnp.asarray(rng.standard_normal((1, 17, 18, 19, 1)).astype(np.float32))
+    y = jnp.asarray(rng.standard_normal((1, 17, 18, 19, 1)).astype(np.float32))
     got = lpips_distance_per_sample_3d(params, x, y)
-    assert got.shape == (2,)
+    assert got.shape == (1,)
 
-    manual = np.zeros(2, np.float32)
+    manual = 0.0
     for axis in (1, 2, 3):
-        xs = np.moveaxis(np.asarray(x), axis, 1)
-        ys = np.moveaxis(np.asarray(y), axis, 1)
-        per_axis = np.zeros(2, np.float32)
-        for b in range(2):
-            d = lpips_distance_per_sample(
-                params, jnp.asarray(xs[b]), jnp.asarray(ys[b])
-            )
-            per_axis[b] = float(np.mean(np.asarray(d)))
-        manual += per_axis
+        xs = jnp.asarray(np.moveaxis(np.asarray(x), axis, 1)[0])
+        ys = jnp.asarray(np.moveaxis(np.asarray(y), axis, 1)[0])
+        d = lpips_distance_per_sample(params, xs, ys)
+        manual += float(np.mean(np.asarray(d)))
     manual /= 3.0
-    np.testing.assert_allclose(np.asarray(got), manual, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(float(got[0]), manual, rtol=1e-4, atol=1e-5)
 
 
 def test_train_step_3d_runs():
