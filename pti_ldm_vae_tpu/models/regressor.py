@@ -39,10 +39,13 @@ _ACTIVATIONS = {
 
 
 def flatten_latent(latent_nhwc: jnp.ndarray) -> jnp.ndarray:
-    """[B, H, W, C] -> [B, C*H*W] in torch NCHW flatten order (parity with
-    ``torch.flatten(latent, start_dim=1)``, ``regression_head.py:131``)."""
-    if latent_nhwc.ndim == 4:
-        latent_nhwc = jnp.transpose(latent_nhwc, (0, 3, 1, 2))
+    """Channel-last latent [B, *spatial, C] -> [B, C*prod(spatial)] in torch
+    channel-major flatten order (parity with
+    ``torch.flatten(latent, start_dim=1)``, ``regression_head.py:131``;
+    rank-generic so 3-D NDHWC latents flatten in NCDHW order)."""
+    if latent_nhwc.ndim > 2:
+        axes = (0, latent_nhwc.ndim - 1, *range(1, latent_nhwc.ndim - 1))
+        latent_nhwc = jnp.transpose(latent_nhwc, axes)
     return latent_nhwc.reshape(latent_nhwc.shape[0], -1)
 
 
@@ -125,13 +128,16 @@ class VAELatentRegressor:
 def infer_flat_dim_from_patch(
     vae: AutoencoderKL, vae_variables: Any, patch_size, *, channels: int | None = None
 ) -> int:
-    """Flattened latent size for a patch, via abstract evaluation (zero FLOPs)."""
-    height, width = patch_size
+    """Flattened latent size for a patch, via abstract evaluation (zero FLOPs).
+
+    ``patch_size`` may have any spatial rank matching the VAE's
+    ``spatial_dims`` (e.g. ``(D, H, W)`` for a 3-D model)."""
+    spatial = tuple(patch_size)
     in_ch = channels if channels is not None else vae.in_channels
     latent = jax.eval_shape(
         lambda v, x: vae.apply(v, x, method=vae.encode_deterministic),
         vae_variables,
-        jax.ShapeDtypeStruct((1, height, width, in_ch), jnp.float32),
+        jax.ShapeDtypeStruct((1, *spatial, in_ch), jnp.float32),
     )
     size = 1
     for dim in latent.shape[1:]:

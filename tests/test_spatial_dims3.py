@@ -303,3 +303,36 @@ def test_train_step_3d_runs():
     for key, val in metrics.items():
         assert np.isfinite(float(val)), key
     assert int(new_state.step) == 1
+
+
+def test_regressor_3d_flatten_order_and_shapes():
+    """Frozen-3-D-VAE regression: flatten follows torch NCDHW order and the
+    eval_shape dim inference matches."""
+    from pti_ldm_vae_tpu.models.regressor import (
+        VAELatentRegressor,
+        flatten_latent,
+        infer_flat_dim_from_patch,
+    )
+
+    rng = np.random.default_rng(9)
+    lat = rng.standard_normal((2, 3, 4, 5, 6)).astype(np.float32)  # B,D,H,W,C
+    flat = flatten_latent(jnp.asarray(lat))
+    expected = torch.flatten(
+        torch.from_numpy(lat).permute(0, 4, 1, 2, 3), start_dim=1
+    ).numpy()
+    np.testing.assert_array_equal(np.asarray(flat), expected)
+
+    vae = _model3()
+    x = jnp.zeros((1, 16, 16, 16, 1))
+    vae_vars = vae.init(jax.random.key(0), x, jax.random.key(1))
+    flat_dim = infer_flat_dim_from_patch(vae, vae_vars, (16, 16, 16))
+    assert flat_dim == 8 * 8 * 8 * CFG3["latent_channels"]
+
+    from pti_ldm_vae_tpu.models.regressor import LatentRegressor
+
+    head = LatentRegressor(hidden_dims=(16,), output_dim=3, activation="relu")
+    wrapper = VAELatentRegressor(vae, vae_vars, head, latent_dim=flat_dim)
+    head_params = wrapper.init_head(jax.random.key(2))
+    out = wrapper.apply(head_params, x)
+    assert out.shape == (1, 3)
+    assert np.isfinite(np.asarray(out)).all()
