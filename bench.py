@@ -269,8 +269,16 @@ def main() -> None:
     for cand in (64, 128) if on_tpu else ():
         try:
             res = bench_train(model, lpips_params, lcfg, make_step, cand, peak_tf, peak_bw)
-        except Exception as exc:  # batch too large for this chip's HBM
-            print(f"# batch {cand} skipped: {type(exc).__name__}",
+        except Exception as exc:
+            # Only memory-exhaustion counts as a benign skip (batch too big
+            # for this chip's HBM); anything else is a real bench regression
+            # and must fail loudly, not fall back to batch 8.
+            msg = f"{type(exc).__name__}: {exc}"
+            if not any(tok in msg for tok in
+                       ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                        "remote_compile", "tpu_compile_helper")):
+                raise
+            print(f"# batch {cand} skipped (memory): {type(exc).__name__}",
                   file=sys.stderr, flush=True)
             continue
         if res["imgs_per_sec"] > train_best["imgs_per_sec"]:

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.lpips import load_lpips_params, lpips_distance_per_sample
+from ..models.lpips import lpips_distance_per_sample_3d, load_lpips_params, lpips_distance_per_sample
 from ..utils.cli_common import (
     add_shared_io_args,
     build_inference_dataloader,
@@ -58,13 +58,18 @@ def evaluate(model, variables, dataloader, *, recon_kind: str,
         # shapes) never contaminate the aggregates.
         diff = recon.astype(jnp.float32) - images.astype(jnp.float32)
         per = jnp.abs(diff) if recon_kind != "l2" else jnp.square(diff)
-        intensity = _masked_mean(jnp.mean(per, axis=(1, 2, 3)), mask)
+        # reductions over all non-batch axes: rank-generic (3-D models too)
+        intensity = _masked_mean(jnp.mean(per, axis=tuple(range(1, per.ndim))), mask)
         sec = z_sigma.astype(jnp.float32)
         kl_ps = -0.5 * jnp.sum(
-            1.0 + sec - jnp.square(z_mu.astype(jnp.float32)) - jnp.exp(sec), axis=(1, 2, 3)
+            1.0 + sec - jnp.square(z_mu.astype(jnp.float32)) - jnp.exp(sec),
+            axis=tuple(range(1, sec.ndim)),
         )  # reference objective: sigma-as-logvar (SURVEY.md §2.4.1)
         kl = _masked_mean(kl_ps, mask)
-        perc = _masked_mean(lpips_distance_per_sample(lpips_params, recon, images), mask)
+        # 5-D (NDHWC) reconstructions take the fake-3D slicing path
+        lpips_fn = (lpips_distance_per_sample_3d if recon.ndim == 5
+                    else lpips_distance_per_sample)
+        perc = _masked_mean(lpips_fn(lpips_params, recon, images), mask)
         total = intensity + kl + perceptual_weight * perc  # no kl_weight (parity)
         return {
             "recon_loss": intensity,

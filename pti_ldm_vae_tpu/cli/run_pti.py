@@ -21,8 +21,8 @@ from ..data.factory import create_vae_inference_dataloader
 from ..data.io import write_png, write_tif
 from ..parallel.mesh import make_mesh, place_batch
 from ..train.diffusion import (
+    make_pivotal_tuning_inversion_batched,
     pivotal_tuning_inversion,
-    pivotal_tuning_inversion_batched,
 )
 from ..utils.cli_common import (
     add_shared_io_args,
@@ -81,6 +81,13 @@ def main(argv=None) -> Path:
 
         mesh = make_mesh()
         variables = jax.device_put(variables, replicated(mesh))
+    # Build the vmapped PTI program ONCE; the returned callable carries the
+    # jit cache across batches (rebuilding per batch re-traces a program
+    # whose remote compile takes minutes on a TPU tunnel).
+    batched_program = (
+        make_pivotal_tuning_inversion_batched(decode_fn, mesh=mesh, **hyper)
+        if batched else None
+    )
 
     def save_one(name: str, pivot, tuned, latent_loss, tune_loss) -> None:
         recon = np.asarray(decode_fn(tuned, pivot))
@@ -107,9 +114,7 @@ def main(argv=None) -> Path:
                 placed = place_batch(mesh, {"image": np.asarray(images),
                                             "z": np.asarray(z_init)})
                 target_in, z_in = placed["image"], placed["z"]
-            pivots, tuned_all, losses = pivotal_tuning_inversion_batched(
-                decode_fn, variables, target_in, z_in, mesh=mesh, **hyper
-            )
+            pivots, tuned_all, losses = batched_program(variables, target_in, z_in)
             for row in np.nonzero(valid)[0]:
                 name = Path(paths[img_idx + int(row)]).stem
                 tuned_row = jax.tree.map(lambda leaf, r=int(row): leaf[r], tuned_all)

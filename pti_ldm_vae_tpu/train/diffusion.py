@@ -31,6 +31,7 @@ __all__ = [
     "make_diffusion_train_step",
     "pivotal_tuning_inversion",
     "pivotal_tuning_inversion_batched",
+    "make_pivotal_tuning_inversion_batched",
 ]
 
 
@@ -201,19 +202,16 @@ def pivotal_tuning_inversion(
     return pivot, tuned_params, {"latent": latent_losses, "tune": tune_losses}
 
 
-def pivotal_tuning_inversion_batched(
+def make_pivotal_tuning_inversion_batched(
     decode_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
-    decoder_params: Any,
-    targets: jnp.ndarray,
-    latent_inits: jnp.ndarray,
     *,
     latent_steps: int = 200,
     latent_lr: float = 1e-1,
     tune_steps: int = 100,
     tune_lr: float = 1e-4,
     mesh=None,
-) -> tuple[jnp.ndarray, Any, dict[str, jnp.ndarray]]:
-    """PTI batched over images — the pod-slice form of the stage.
+) -> Callable:
+    """Build the batched-PTI program ONCE; call it per batch.
 
     Each image's inversion and decoder fine-tune are independent, so the
     whole stage is ``vmap`` over the batch axis inside ONE jitted program;
@@ -227,10 +225,14 @@ def pivotal_tuning_inversion_batched(
     bit-comparable to :func:`pivotal_tuning_inversion` (tested on the CPU
     mesh).
 
-    ``targets``: [B, H, W, C]; ``latent_inits``: [B, h, w, c]; with ``mesh``,
-    B must divide by the mesh ``data`` axis (pad via ``parallel.mesh.
-    place_batch``). Returns ``(pivots [B, h, w, c], tuned_params with a
-    leading B axis on every leaf, losses {latent/tune: [B, steps]})``.
+    The returned callable ``(decoder_params, targets, latent_inits) ->
+    (pivots, tuned_params, losses)`` carries the jit cache: build it once
+    outside the batch loop (re-calling this factory re-traces — full-program
+    remote compiles take minutes on a TPU tunnel). ``targets``:
+    [B, *spatial, C]; with ``mesh``, B must divide the mesh ``data`` axis
+    (pad via ``parallel.mesh.place_batch``). Returns per call:
+    ``(pivots [B, ...], tuned_params with a leading B axis on every leaf,
+    losses {latent/tune: [B, steps]})``.
     """
     latent_tx = optax.adam(latent_lr)
     tune_tx = optax.adam(tune_lr)
@@ -267,34 +269,69 @@ def pivotal_tuning_inversion_batched(
         return jax.vmap(single, in_axes=(None, 0, 0))(params, targets, latent_inits)
 
     if mesh is None or mesh.shape.get("data", 1) <= 1:
-        return jax.jit(run)(decoder_params, targets, latent_inits)
+        return jax.jit(run)
 
     from jax.sharding import PartitionSpec as P
 
+    # Params enter unvarying (replicated); without disabling varying-ness
+    # tracking, the AD transpose of their broadcast inserts a psum over
+    # `data`, summing every image's decoder gradient into every copy.
+    # Per-device tuning must stay independent. The kwarg is check_vma on
+    # jax >= 0.8 and check_rep on the older experimental shim.
     try:
         from jax import shard_map
+
+        vma_kwargs = {"check_vma": False}
     except ImportError:  # pre-0.8 JAX
         from jax.experimental.shard_map import shard_map
+
+        vma_kwargs = {"check_rep": False}
 
     from ..parallel.mesh import DATA_AXIS, data_sharding, replicated
 
     data_size = mesh.shape[DATA_AXIS]
-    if targets.shape[0] % data_size:
-        raise ValueError(
-            f"batch {targets.shape[0]} must divide the mesh data axis "
-            f"({data_size}); pad via parallel.mesh.place_batch"
-        )
-    sharded = shard_map(
+    sharded = jax.jit(shard_map(
         run, mesh=mesh,
         in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
         out_specs=P(DATA_AXIS),
-        # Params enter unvarying (replicated); without this, the AD transpose
-        # of their broadcast inserts a psum over `data`, summing every
-        # image's decoder gradient into every copy. Per-device tuning must
-        # stay independent, so disable varying-ness tracking.
-        check_vma=False,
+        **vma_kwargs,
+    ))
+
+    def call(decoder_params, targets, latent_inits):
+        if targets.shape[0] % data_size:
+            raise ValueError(
+                f"batch {targets.shape[0]} must divide the mesh data axis "
+                f"({data_size}); pad via parallel.mesh.place_batch"
+            )
+        decoder_params = jax.device_put(decoder_params, replicated(mesh))
+        targets = jax.device_put(targets, data_sharding(mesh, targets.ndim))
+        latent_inits = jax.device_put(
+            latent_inits, data_sharding(mesh, latent_inits.ndim)
+        )
+        return sharded(decoder_params, targets, latent_inits)
+
+    return call
+
+
+def pivotal_tuning_inversion_batched(
+    decode_fn: Callable[[Any, jnp.ndarray], jnp.ndarray],
+    decoder_params: Any,
+    targets: jnp.ndarray,
+    latent_inits: jnp.ndarray,
+    *,
+    latent_steps: int = 200,
+    latent_lr: float = 1e-1,
+    tune_steps: int = 100,
+    tune_lr: float = 1e-4,
+    mesh=None,
+) -> tuple[jnp.ndarray, Any, dict[str, jnp.ndarray]]:
+    """One-shot convenience wrapper around
+    :func:`make_pivotal_tuning_inversion_batched`. NOTE: builds (and traces)
+    the program on every call — batch loops should build the program once
+    via the factory instead (as ``cli/run_pti.py`` does).
+    """
+    program = make_pivotal_tuning_inversion_batched(
+        decode_fn, latent_steps=latent_steps, latent_lr=latent_lr,
+        tune_steps=tune_steps, tune_lr=tune_lr, mesh=mesh,
     )
-    decoder_params = jax.device_put(decoder_params, replicated(mesh))
-    targets = jax.device_put(targets, data_sharding(mesh, targets.ndim))
-    latent_inits = jax.device_put(latent_inits, data_sharding(mesh, latent_inits.ndim))
-    return jax.jit(sharded)(decoder_params, targets, latent_inits)
+    return program(decoder_params, targets, latent_inits)

@@ -98,6 +98,13 @@ def _generator_losses(
         # 5-D (NDHWC) inputs take the fake-3D slicing path (the MONAI
         # spatial_dims=3 PerceptualLoss approach; models/lpips.py).
         lpips_dtype = getattr(model, "compute_dtype", jnp.float32)
+        if recon.ndim not in (4, 5):
+            raise ValueError(
+                f"perceptual loss supports 2-D (NHWC) and 3-D (NDHWC) models "
+                f"only, got rank-{recon.ndim} reconstruction; set "
+                f"perceptual_weight=0 / use_perceptual=False for "
+                f"spatial_dims=1"
+            )
         lpips_fn = (
             lpips_distance_per_sample_3d if recon.ndim == 5
             else lpips_distance_per_sample

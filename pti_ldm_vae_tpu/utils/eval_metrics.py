@@ -68,7 +68,18 @@ def compute_ssim(
     k1: float = 0.01,
     k2: float = 0.03,
 ) -> jnp.ndarray:
-    """SSIM per sample, NHWC, matching reference ``eval_metrics.py:22-63``."""
+    """SSIM per sample, NHWC, matching reference ``eval_metrics.py:22-63``.
+
+    5-D (NDHWC) volumes are scored as the per-sample mean of 2-D SSIM over
+    depth slices (consistent with the fake-3D perceptual approach)."""
+    if pred.ndim == 5:
+        b, d = pred.shape[0], pred.shape[1]
+        per_slice = compute_ssim(
+            pred.reshape(b * d, *pred.shape[2:]),
+            target.reshape(b * d, *target.shape[2:]),
+            data_range=data_range, k1=k1, k2=k2,
+        )
+        return jnp.mean(per_slice.reshape(b, d), axis=1)
     pred = pred.astype(jnp.float32)
     target = target.astype(jnp.float32)
     window_size, sigma = 11, 1.5

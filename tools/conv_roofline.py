@@ -293,7 +293,7 @@ def main() -> None:
         key = (tuple(c["in"]), tuple(c["kernel"]), tuple(c["out"]),
                c["stride"], tuple(map(tuple, c["pad"])), c["lhs_dilate"],
                c["rhs_dilate"], tuple(map(tuple, c["dims"])), c["groups"],
-               c["batch_groups"], c["dtype"])
+               c["batch_groups"], c["dtype"], c["out_dtype"])
         entry = uniq.setdefault(key, {**c, "count": 0})
         entry["count"] += 1
 
