@@ -277,6 +277,12 @@ def main() -> None:
     ap.add_argument("--mode", choices=("inference", "train"), default="inference")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
+    ap.add_argument("--top", type=int, default=None,
+                    help="Bench only the N highest-work unique shapes; the "
+                    "tail is priced at the TF/s of the nearest benched conv "
+                    "of the same dim-numbers family (reported as "
+                    "extrapolated_gflops). Bounds wall-clock when a program "
+                    "has ~100 unique conv shapes.")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -302,10 +308,19 @@ def main() -> None:
           f"({len(uniq)} unique), {total_conv_gflops:.1f} GFLOP conv work/step",
           flush=True)
 
+    ordered = sorted(uniq.values(), key=lambda c: -c["gflops"] * c["count"])
+    to_bench = ordered if args.top is None else ordered[:args.top]
+    tail = [] if args.top is None else ordered[args.top:]
+
+    def fam(c):
+        return tuple(map(tuple, c["dims"]))
+
     floor_s = 0.0
     unbenched_gflops = 0.0
+    extrapolated_gflops = 0.0
+    benched: list[dict] = []
     rows = []
-    for c in sorted(uniq.values(), key=lambda c: -c["gflops"] * c["count"]):
+    for c in to_bench:
         try:
             t = bench_conv(c, iters=args.iters)
         except Exception as exc:
@@ -315,6 +330,7 @@ def main() -> None:
             continue
         tfs = c["gflops"] / t / 1e3
         floor_s += t * c["count"]
+        benched.append({**c, "tfs": tfs})
         rows.append({
             "in": c["in"], "kernel": c["kernel"], "out": c["out"],
             "stride": list(c["stride"]), "count": c["count"],
@@ -323,6 +339,13 @@ def main() -> None:
         })
         print(f"  {str(c['in']):>22} * {str(c['kernel']):>18} s{c['stride']} "
               f"x{c['count']}: {t*1e3:8.4f} ms @ {tfs:6.1f} TF/s", flush=True)
+
+    for c in tail:
+        work = c["gflops"] * c["count"]
+        same_fam = [b for b in benched if fam(b) == fam(c)] or benched
+        nearest = min(same_fam, key=lambda b: abs(b["gflops"] - c["gflops"]))
+        floor_s += work / nearest["tfs"] / 1e3
+        extrapolated_gflops += work
 
     measured = _measure_program(run_chain, args.iters)
     util = floor_s / measured
@@ -333,6 +356,7 @@ def main() -> None:
         "n_convs": len(convs),
         "conv_gflops_per_step": round(total_conv_gflops, 2),
         "unbenched_gflops": round(unbenched_gflops, 2),
+        "extrapolated_gflops": round(extrapolated_gflops, 2),
         "conv_floor_ms": round(floor_s * 1e3, 3),
         "measured_step_ms": round(measured * 1e3, 3),
         "conv_roofline_util": round(util, 4),
