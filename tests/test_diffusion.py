@@ -114,6 +114,18 @@ def test_ddim_sample_runs(unet_and_params):
     sample2 = ddim_sample(apply, params, sched, (2, 8, 8, 2), jax.random.key(0),
                           num_inference_steps=10, context=ctx)
     np.testing.assert_allclose(np.asarray(sample), np.asarray(sample2), rtol=1e-5)
+    # eta>0 engages the stochastic branch: finite and different from eta=0
+    sample_eta = ddim_sample(apply, params, sched, (2, 8, 8, 2), jax.random.key(0),
+                             num_inference_steps=10, context=ctx, eta=1.0)
+    assert np.all(np.isfinite(np.asarray(sample_eta)))
+    assert float(np.abs(np.asarray(sample_eta) - np.asarray(sample)).max()) > 1e-4
+    # a caller-provided x_T overrides the key-derived init (mesh-sharded path)
+    noise = jax.random.normal(jax.random.key(7), (2, 8, 8, 2))
+    s_a = ddim_sample(apply, params, sched, (2, 8, 8, 2), jax.random.key(0),
+                      num_inference_steps=10, context=ctx, initial_noise=noise)
+    s_b = ddim_sample(apply, params, sched, (2, 8, 8, 2), jax.random.key(1),
+                      num_inference_steps=10, context=ctx, initial_noise=noise)
+    np.testing.assert_allclose(np.asarray(s_a), np.asarray(s_b), rtol=1e-5)
 
 
 def test_diffusion_train_step_decreases_loss(unet_and_params):
