@@ -231,12 +231,9 @@ def main() -> None:
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
     from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
 
-    config = {
-        "spatial_dims": 2, "in_channels": 1, "out_channels": 1, "latent_channels": 4,
-        "channels": [32, 64, 128, 128], "num_res_blocks": 2, "norm_num_groups": 16,
-        "norm_eps": 1e-6, "attention_levels": [False, False, False, False],
-        "with_encoder_nonlocal_attn": True, "with_decoder_nonlocal_attn": True,
-    }
+    # the benched architecture is the driver's flagship (one definition)
+    from __graft_entry__ import FLAGSHIP_CONFIG as config
+
     on_tpu = jax.default_backend() == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = autoencoder_from_config(config, compute_dtype=compute_dtype)

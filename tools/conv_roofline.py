@@ -63,10 +63,10 @@ _CONV_RE = re.compile(
 )
 
 
-def _pairs(window: str, name: str, n: int) -> list:
-    m = re.search(rf"{name}\s*=\s*\[(.*?)\]\]", window)
+def _pad_pairs(window: str, n: int) -> list:
+    m = re.search(r"pad\s*=\s*\[(.*?)\]\]", window)
     if not m:
-        return [[0, 0]] * n if name == "pad" else None
+        return [[0, 0]] * n
     return json.loads("[" + m.group(1) + "]]")
 
 
@@ -111,7 +111,7 @@ def parse_convs(stablehlo_text: str) -> list[dict]:
         convs.append({
             "in": in_shape, "kernel": k_shape, "out": out_shape,
             "stride": _vec(window, "stride", nsp, 1),
-            "pad": _pairs(window, "pad", nsp),
+            "pad": _pad_pairs(window, nsp),
             "lhs_dilate": _vec(window, "lhs_dilate", nsp, 1),
             "rhs_dilate": _vec(window, "rhs_dilate", nsp, 1),
             "dims": (
@@ -220,12 +220,8 @@ def _measure_program(run_chain, iters: int) -> float:
     return best
 
 
-CONFIG = {
-    "spatial_dims": 2, "in_channels": 1, "out_channels": 1, "latent_channels": 4,
-    "channels": [32, 64, 128, 128], "num_res_blocks": 2, "norm_num_groups": 16,
-    "norm_eps": 1e-6, "attention_levels": [False, False, False, False],
-    "with_encoder_nonlocal_attn": True, "with_decoder_nonlocal_attn": True,
-}
+# the benched architecture is the driver's flagship (one definition)
+from __graft_entry__ import FLAGSHIP_CONFIG as CONFIG  # noqa: E402
 
 
 def build_inference(batch: int):
