@@ -336,3 +336,128 @@ def test_regressor_3d_flatten_order_and_shapes():
     out = wrapper.apply(head_params, x)
     assert out.shape == (1, 3)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_unet_time_resblock_3d_matches_torch():
+    """3-D TimeResBlock vs a direct Conv3d mirror loaded from the Flax tree
+    (pins the rank-generic conv kernels and the time-embedding broadcast)."""
+    from pti_ldm_vae_tpu.models.unet import TimeResBlock
+
+    blk = TimeResBlock(out_channels=6, norm_num_groups=2, norm_eps=1e-6)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal((2, 5, 6, 7, 4)).astype(np.float32)
+    temb = rng.standard_normal((2, 8)).astype(np.float32)
+    params = blk.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(temb))
+    out = blk.apply(params, jnp.asarray(x), jnp.asarray(temb))
+
+    p = jax.tree.map(np.asarray, params["params"])
+
+    def conv3(tree):
+        k = tree["kernel"]  # (*K, I, O)
+        mod = nn.Conv3d(k.shape[3], k.shape[4], k.shape[0],
+                        padding=(k.shape[0] - 1) // 2)
+        mod.weight.data = torch.from_numpy(
+            np.ascontiguousarray(np.transpose(k, (4, 3, 0, 1, 2))))
+        mod.bias.data = torch.from_numpy(np.ascontiguousarray(tree["bias"]))
+        return mod
+
+    def gn(scale, bias):
+        mod = nn.GroupNorm(2, scale.shape[0], eps=1e-6)
+        mod.weight.data = torch.from_numpy(np.ascontiguousarray(scale))
+        mod.bias.data = torch.from_numpy(np.ascontiguousarray(bias))
+        return mod
+
+    lin = nn.Linear(8, 6)
+    lin.weight.data = torch.from_numpy(
+        np.ascontiguousarray(p["time_emb_proj"]["kernel"].T))
+    lin.bias.data = torch.from_numpy(np.ascontiguousarray(p["time_emb_proj"]["bias"]))
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        tt = torch.from_numpy(temb)
+        h = conv3(p["conv1"])(F.silu(gn(p["norm1_scale"], p["norm1_bias"])(xt)))
+        h = h + lin(F.silu(tt))[:, :, None, None, None]
+        h = conv3(p["conv2"])(F.silu(gn(p["norm2_scale"], p["norm2_bias"])(h)))
+        expected = conv3(p["skip"])(xt) + h
+    np.testing.assert_allclose(
+        np.asarray(out), expected.permute(0, 2, 3, 4, 1).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
+
+
+def test_unet_spatial_transformer_3d_matches_torch():
+    """3-D SpatialTransformer (1x1x1 projections + token-flattened attention
+    over D*H*W) vs a torch mirror."""
+    import math
+
+    from pti_ldm_vae_tpu.models.unet import SpatialTransformer
+
+    st = SpatialTransformer(num_heads=2, norm_num_groups=2, norm_eps=1e-6,
+                            cross_attention_dim=6)
+    rng = np.random.default_rng(12)
+    x = rng.standard_normal((2, 3, 4, 5, 8)).astype(np.float32)
+    ctx = rng.standard_normal((2, 4, 6)).astype(np.float32)
+    params = st.init(jax.random.key(0), jnp.asarray(x), jnp.asarray(ctx))
+    out = st.apply(params, jnp.asarray(x), jnp.asarray(ctx))
+
+    p = jax.tree.map(np.asarray, params["params"])
+    blk = p["block"]
+
+    def lin(tree, bias=True):
+        mod = nn.Linear(tree["kernel"].shape[0], tree["kernel"].shape[1], bias=bias)
+        mod.weight.data = torch.from_numpy(np.ascontiguousarray(tree["kernel"].T))
+        if bias:
+            mod.bias.data = torch.from_numpy(np.ascontiguousarray(tree["bias"]))
+        return mod
+
+    def ln(tree):
+        mod = nn.LayerNorm(8, eps=1e-6)
+        mod.weight.data = torch.from_numpy(np.ascontiguousarray(tree["scale"]))
+        mod.bias.data = torch.from_numpy(np.ascontiguousarray(tree["bias"]))
+        return mod
+
+    def mha(q, k, v, heads=2):
+        b, sq, c = q.shape
+        hd = c // heads
+        qh = q.view(b, sq, heads, hd).transpose(1, 2)
+        kh = k.view(b, k.shape[1], heads, hd).transpose(1, 2)
+        vh = v.view(b, v.shape[1], heads, hd).transpose(1, 2)
+        a = torch.softmax(qh @ kh.transpose(-1, -2) / math.sqrt(hd), dim=-1) @ vh
+        return a.transpose(1, 2).reshape(b, sq, c)
+
+    gn = nn.GroupNorm(2, 8, eps=1e-6)
+    gn.weight.data = torch.from_numpy(np.ascontiguousarray(p["norm_scale"]))
+    gn.bias.data = torch.from_numpy(np.ascontiguousarray(p["norm_bias"]))
+
+    def conv1(tree):
+        k = tree["kernel"]  # (1,1,1,I,O)
+        mod = nn.Conv3d(k.shape[3], k.shape[4], 1)
+        mod.weight.data = torch.from_numpy(
+            np.ascontiguousarray(np.transpose(k, (4, 3, 0, 1, 2))))
+        mod.bias.data = torch.from_numpy(np.ascontiguousarray(tree["bias"]))
+        return mod
+
+    with torch.no_grad():
+        xt = torch.from_numpy(x).permute(0, 4, 1, 2, 3)
+        ctxt = torch.from_numpy(ctx)
+        b, c = 2, 8
+        hidden = conv1(p["proj_in"])(gn(xt))
+        hidden = hidden.permute(0, 2, 3, 4, 1).reshape(b, -1, c)
+        t = ln(blk["norm1"])(hidden)
+        hidden = hidden + lin(blk["attn1_out"])(
+            mha(lin(blk["attn1_q"], False)(t), lin(blk["attn1_k"], False)(t),
+                lin(blk["attn1_v"], False)(t)))
+        t = ln(blk["norm2"])(hidden)
+        hidden = hidden + lin(blk["attn2_out"])(
+            mha(lin(blk["attn2_q"], False)(t), lin(blk["attn2_k"], False)(ctxt),
+                lin(blk["attn2_v"], False)(ctxt)))
+        t = ln(blk["norm3"])(hidden)
+        gate = lin(blk["ff_in"])(t)
+        a, g = gate.chunk(2, dim=-1)
+        hidden = hidden + lin(blk["ff_out"])(a * F.gelu(g))
+        hidden = hidden.reshape(b, 3, 4, 5, c).permute(0, 4, 1, 2, 3)
+        expected = xt + conv1(p["proj_out"])(hidden)
+    np.testing.assert_allclose(
+        np.asarray(out), expected.permute(0, 2, 3, 4, 1).numpy(),
+        rtol=1e-4, atol=1e-5,
+    )
