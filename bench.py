@@ -122,7 +122,7 @@ def _stats(times: list[float], iters: int, batch: int, flops_per_step: float,
     return out
 
 
-def bench_train(model, lpips_params, lcfg, make_step_fn, batch: int, peak_tf, peak_bw) -> dict:
+def bench_train(model, lpips_params, make_step_fn, batch: int, peak_tf, peak_bw) -> dict:
     from pti_ldm_vae_tpu.train.state import create_train_state
 
     rng = np.random.default_rng(0)
@@ -161,8 +161,6 @@ def bench_inference(model, params_g, batch: int, peak_tf, peak_bw) -> dict:
     cost = _cost(infer, params_g, images)
     flops = float(cost.get("flops", 0.0))
     bytes_acc = float(cost.get("bytes accessed", 0.0))
-
-    holder = {"x": images}
 
     def run_chain(iters):
         out = images
@@ -257,7 +255,7 @@ def main() -> None:
     def make_step():
         return make_train_step(model, None, lcfg, adv_active=False, donate=True)
 
-    train_b8 = bench_train(model, lpips_params, lcfg, make_step, BATCH, peak_tf, peak_bw)
+    train_b8 = bench_train(model, lpips_params, make_step, BATCH, peak_tf, peak_bw)
 
     best_batch, train_best = BATCH, train_b8
     # 64 and 128 bracket the practical occupancy range: 128 measures 396
@@ -265,7 +263,7 @@ def main() -> None:
     # (remote-compile failure), so don't probe past 128.
     for cand in (64, 128) if on_tpu else ():
         try:
-            res = bench_train(model, lpips_params, lcfg, make_step, cand, peak_tf, peak_bw)
+            res = bench_train(model, lpips_params, make_step, cand, peak_tf, peak_bw)
         except Exception as exc:
             # Only memory-exhaustion counts as a benign skip (batch too big
             # for this chip's HBM); anything else is a real bench regression
@@ -285,10 +283,23 @@ def main() -> None:
         jax.random.key(0), jnp.zeros((1, HW, HW, 1)), jax.random.key(1)
     )
     infer_b8 = bench_inference(model, params_g, BATCH, peak_tf, peak_bw)
-    infer_best = (
-        infer_b8 if best_batch == BATCH
-        else bench_inference(model, params_g, best_batch, peak_tf, peak_bw)
-    )
+    # inference picks its own best batch (its memory envelope differs from
+    # training's — the train-best batch need not maximize inference)
+    infer_best_batch, infer_best = BATCH, infer_b8
+    for cand in (64, 128) if on_tpu else ():
+        try:
+            res = bench_inference(model, params_g, cand, peak_tf, peak_bw)
+        except Exception as exc:
+            msg = f"{type(exc).__name__}: {exc}"
+            if not any(tok in msg for tok in
+                       ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                        "remote_compile", "tpu_compile_helper")):
+                raise
+            print(f"# inference batch {cand} skipped (memory): {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+            continue
+        if res["imgs_per_sec"] > infer_best["imgs_per_sec"]:
+            infer_best_batch, infer_best = cand, res
 
     ddim = bench_ddim(peak_tf, peak_bw)
 
@@ -321,7 +332,7 @@ def main() -> None:
         "train_b8": train_b8,
         "train_best": {"batch": best_batch, **train_best},
         "inference_encode_decode_b8": infer_b8,
-        "inference_encode_decode_best": {"batch": best_batch, **infer_best},
+        "inference_encode_decode_best": {"batch": infer_best_batch, **infer_best},
         "ddim": ddim,
         "conv_roofline_util_recorded": roofline,
         "measurement": (

@@ -157,7 +157,9 @@ def export_static(analyzer, output_dir: Path, groups, args) -> Path:
     plot_path = output_dir / f"{args.method}_projection.png"
     analyzer.plot_projection_2d(
         projections, str(plot_path), title=f"{args.method.upper()} projection",
-        color_by_patient=getattr(args, "color_by_patient", True),
+        # reference default: flag is store_true, so absent means False
+        # (analyze_interactive.py:44)
+        color_by_patient=getattr(args, "color_by_patient", False),
         image_paths_list=[g["paths"] for g in groups],
     )
     data_path = output_dir / "projection_data.json"

@@ -88,6 +88,8 @@ def pad_batch(batch, multiple: int):
 
     def pad(x):
         x = np.asarray(x)
+        if x.ndim == 0:  # scalar leaves have no batch axis; replicate as-is
+            return x
         width = [(0, target - n)] + [(0, 0)] * (x.ndim - 1)
         return np.pad(x, width)
 
@@ -116,6 +118,8 @@ def place_batch(mesh: Mesh, batch, *, spatial: bool = False):
     batch = pad_batch(batch, data_size // n_proc)
 
     def spec_for(x) -> P:
+        if x.ndim == 0:  # scalar leaf: replicated, no batch axis to shard
+            return P()
         if spatial and x.ndim == 4:
             return P(DATA_AXIS, MODEL_AXIS, None, None)
         return P(DATA_AXIS, *([None] * (x.ndim - 1)))
@@ -125,7 +129,9 @@ def place_batch(mesh: Mesh, batch, *, spatial: bool = False):
         sharding = NamedSharding(mesh, spec_for(x))
         if n_proc == 1:
             return jax.device_put(jnp.asarray(x), sharding)
-        global_shape = (x.shape[0] * n_proc, *x.shape[1:])
+        global_shape = (
+            () if x.ndim == 0 else (x.shape[0] * n_proc, *x.shape[1:])
+        )
         return jax.make_array_from_process_local_data(sharding, x, global_shape)
 
     return jax.tree.map(place, batch)

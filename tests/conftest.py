@@ -28,8 +28,12 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _cache_dir)
 # Tests assume the random-feature fallback; "none" makes the loaders ignore
 # any converted weights a user installed under weights/ (tests that exercise
 # real weight loading monkeypatch these to explicit paths).
-os.environ.setdefault("PTI_LPIPS_WEIGHTS", "none")
-os.environ.setdefault("PTI_VGG16_WEIGHTS", "none")
+# Force (not setdefault): several tests hard-assert the random-feature
+# fallback (perceptual_pretrained is False), so a developer's exported
+# weights path must not leak in; tests that exercise real weight loading
+# monkeypatch these explicitly.
+os.environ["PTI_LPIPS_WEIGHTS"] = "none"
+os.environ["PTI_VGG16_WEIGHTS"] = "none"
 
 import jax  # noqa: E402
 
