@@ -147,10 +147,36 @@ def first_local_rows(x) -> np.ndarray:
 
     Safe under multi-host where ``np.asarray(global_array)`` would raise on
     non-addressable shards; used for image dumps/debug, never for metrics.
+    Under spatial sharding each shard is a (batch, height) TILE, so the
+    addressable shards sharing the first shard's batch range are stitched
+    back together along the height axis — otherwise dumps would be
+    vertically-cropped fragments. Falls back to the bare first shard if this
+    process doesn't hold every height tile of its rows (model axis split
+    across processes).
     """
     if jax.process_count() == 1:
         return np.asarray(x)
-    return np.asarray(x.addressable_shards[0].data)
+    shards = x.addressable_shards
+    first = shards[0]
+    if x.ndim < 2:
+        return np.asarray(first.data)
+    batch_key = first.index[0]
+    tiles = sorted(
+        (s for s in shards if s.index[0] == batch_key),
+        key=lambda s: (s.index[1].start or 0) if isinstance(s.index[1], slice) else 0,
+    )
+    # dedup replicated tiles (same H-range on several devices)
+    seen, unique = set(), []
+    for s in tiles:
+        h_key = (s.index[1].start, s.index[1].stop) if isinstance(s.index[1], slice) else None
+        if h_key in seen:
+            continue
+        seen.add(h_key)
+        unique.append(s)
+    stitched = np.concatenate([np.asarray(s.data) for s in unique], axis=1)
+    if stitched.shape[1] != x.shape[1]:  # incomplete height coverage
+        return np.asarray(first.data)
+    return stitched
 
 
 def barrier_sync(tag: str = "barrier") -> None:

@@ -55,3 +55,22 @@ def test_spatial_sharding_train_grads_match():
 
     for a, b in zip(jax.tree.leaves(g_ref), jax.tree.leaves(g_sharded)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=1e-5)
+
+
+def test_first_local_rows_stitches_spatial_tiles(monkeypatch):
+    """Under multi-host + spatial sharding, first_local_rows reassembles the
+    height tiles of its first batch rows instead of returning one cropped
+    (batch, H/M) fragment (simulated here by forcing the multi-host branch
+    on a single-process dp x sp array, where every shard is addressable)."""
+    from pti_ldm_vae_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(jax.devices(), data=2, model=4)
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(4, 32, 16, 1)).astype(np.float32)
+    )
+    x_sharded = jax.device_put(x, spatial_sharding(mesh))
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    got = mesh_mod.first_local_rows(x_sharded)
+    # the first shard's batch range is rows 0..1; full height must come back
+    np.testing.assert_array_equal(got, np.asarray(x)[:2])
