@@ -54,6 +54,13 @@ def main(argv=None) -> Path:
     args = parse_args(argv)
     init_device_and_seed(args.seed)
     config, (model, variables) = load_config_and_model(args.config_file, args.checkpoint)
+    if getattr(model, "spatial_dims", 2) != 2:
+        # The TIF/PNG dump path slices [0, :, :, 0] (2-D NHWC); a volume
+        # checkpoint would silently write a malformed [D,H,C] slice.
+        raise NotImplementedError(
+            "run_pti supports spatial_dims=2 checkpoints only "
+            f"(got spatial_dims={model.spatial_dims})"
+        )
     out_dir = Path(args.output_dir or "pti_out")
     out_dir.mkdir(parents=True, exist_ok=True)
 

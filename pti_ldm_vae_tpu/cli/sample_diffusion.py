@@ -50,6 +50,13 @@ def main(argv=None) -> Path:
 
     vae_cfg = load_vae_config(cfg["vae"]["config_file"])
     vae, vae_vars = load_vae_model(vae_cfg, cfg["vae"]["checkpoint"])
+    if getattr(vae, "spatial_dims", 2) != 2:
+        # Latent bookkeeping below assumes 2-D (h_lat, w_lat) and the dump
+        # path slices [i, :, :, 0]; reject volumes loudly.
+        raise NotImplementedError(
+            "sample_diffusion supports spatial_dims=2 VAEs only "
+            f"(got spatial_dims={vae.spatial_dims})"
+        )
     patch_size = tuple(vae_cfg.autoencoder_train["patch_size"])
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],

@@ -268,8 +268,10 @@ def lpips_distance_per_sample_3d(
     this is the 3-D extension of the same contract). Divergence from MONAI,
     documented: MONAI subsamples a random ``fake_3d_ratio`` of slices each
     call; here ALL slices are used, which is deterministic and keeps the
-    jitted step shape-static. Loss = mean over the three slicing axes of the
-    per-axis mean slice distance.
+    jitted step shape-static. Loss = SUM over the three slicing axes of the
+    per-axis mean slice distance (MONAI adds loss_sagittal + loss_coronal +
+    loss_axial — the axes are summed, not averaged, so ``perceptual_weight``
+    means the same thing in both frameworks).
     """
     if x.ndim != 5:
         raise ValueError(f"expected NDHWC volume, got shape {x.shape}")
@@ -284,4 +286,4 @@ def lpips_distance_per_sample_3d(
         ys = ys.reshape(b * n, *ys.shape[2:])
         per_slice = lpips_distance_per_sample(params, xs, ys, compute_dtype)
         total = total + jnp.mean(per_slice.reshape(b, n), axis=1)
-    return total / 3.0
+    return total

@@ -71,7 +71,10 @@ def compute_ssim(
     """SSIM per sample, NHWC, matching reference ``eval_metrics.py:22-63``.
 
     5-D (NDHWC) volumes are scored as the per-sample mean of 2-D SSIM over
-    depth slices (consistent with the fake-3D perceptual approach)."""
+    DEPTH slices only. This is a documented divergence (docs/PARITY.md): it
+    is neither MONAI's true 3-D windowed SSIM nor the fake-3D perceptual
+    path's all-three-axes sum — 3-D SSIM values are comparable between runs
+    of this framework but not to MONAI ``spatial_dims=3`` SSIM."""
     if pred.ndim == 5:
         b, d = pred.shape[0], pred.shape[1]
         per_slice = compute_ssim(

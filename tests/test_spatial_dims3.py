@@ -256,9 +256,10 @@ def test_discriminator_3d_patch_output():
 
 @pytest.mark.slow
 def test_lpips_fake3d_matches_manual_slicing():
-    """Fake-3D LPIPS == mean over the three axes of per-axis mean 2-D slice
-    distance (all slices, deterministic — documented divergence from MONAI's
-    random fake_3d_ratio subsampling)."""
+    """Fake-3D LPIPS == SUM over the three axes of per-axis mean 2-D slice
+    distance (MONAI adds loss_sagittal + loss_coronal + loss_axial; all
+    slices used, deterministic — documented divergence from MONAI's random
+    fake_3d_ratio subsampling)."""
     from pti_ldm_vae_tpu.models.lpips import (
         init_lpips_params,
         lpips_distance_per_sample,
@@ -279,7 +280,6 @@ def test_lpips_fake3d_matches_manual_slicing():
         ys = jnp.asarray(np.moveaxis(np.asarray(y), axis, 1)[0])
         d = lpips_distance_per_sample(params, xs, ys)
         manual += float(np.mean(np.asarray(d)))
-    manual /= 3.0
     np.testing.assert_allclose(float(got[0]), manual, rtol=1e-4, atol=1e-5)
 
 
