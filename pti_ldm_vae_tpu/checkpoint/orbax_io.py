@@ -18,18 +18,32 @@ from __future__ import annotations
 
 import json
 import os
+import queue
 import shutil
-from typing import Any
+import threading
+from typing import Any, Callable
 
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
 
 __all__ = [
+    "fetch_to_host",
     "save_pytree",
     "load_pytree",
     "CheckpointManager",
 ]
+
+
+def fetch_to_host(tree: Any) -> Any:
+    """Device -> host numpy for every jax.Array leaf.
+
+    Host numpy trees are safe to hand to a background writer thread: they
+    hold no device buffers, so the train loop's donated-state updates cannot
+    invalidate them mid-write."""
+    return jax.tree.map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
+    )
 
 
 def save_pytree(path: str, tree: Any) -> None:
@@ -45,11 +59,56 @@ def save_pytree(path: str, tree: Any) -> None:
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
-    tree = jax.tree.map(
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree
-    )
+    tree = fetch_to_host(tree)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(path, tree)
+
+
+class _AsyncWriter:
+    """Single background thread executing disk writes in submission order.
+
+    Ordering matters (the JSON sidecar must land after its tree; the
+    previous best's deletion must not race its replacement), so one worker
+    drains a FIFO queue. Failures are re-raised on the next ``submit`` or
+    ``wait`` — a checkpoint that silently failed to write would be worse
+    than a crashed run."""
+
+    def __init__(self) -> None:
+        self._queue: queue.Queue = queue.Queue()
+        self._thread: threading.Thread | None = None
+        self._exc: BaseException | None = None
+
+    def _worker(self) -> None:
+        while True:
+            fn = self._queue.get()
+            if fn is None:
+                self._queue.task_done()
+                return
+            try:
+                fn()
+            except BaseException as exc:  # noqa: BLE001 — surfaced on wait()
+                self._exc = exc
+            finally:
+                self._queue.task_done()
+
+    def submit(self, fn: Callable[[], None]) -> None:
+        self._raise_pending()
+        if self._thread is None:
+            self._thread = threading.Thread(
+                target=self._worker, name="ckpt-writer", daemon=True
+            )
+            self._thread.start()
+        self._queue.put(fn)
+
+    def wait(self) -> None:
+        """Block until every submitted write has finished."""
+        self._queue.join()
+        self._raise_pending()
+
+    def _raise_pending(self) -> None:
+        if self._exc is not None:
+            exc, self._exc = self._exc, None
+            raise RuntimeError("background checkpoint write failed") from exc
 
 
 def load_pytree(path: str, target: Any | None = None) -> Any:
@@ -68,6 +127,99 @@ class CheckpointManager:
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
         self.best_epoch_saved: int | None = None
+        self._writer = _AsyncWriter()
+
+    def wait(self) -> None:
+        """Drain pending background checkpoint writes (call before exit or
+        before reading a just-saved checkpoint)."""
+        self._writer.wait()
+
+    # -- per-epoch combined save (hot path) --------------------------------
+    def save_epoch(
+        self,
+        *,
+        state: Any,
+        epoch: int,
+        val_loss: float,
+        best_val_loss: float,
+        total_step: int,
+    ) -> float:
+        """One epoch's checkpoint work: overwrite ``last``, and on val
+        improvement write the per-epoch best + full resume state — with ONE
+        device->host fetch shared by both, and all disk writes on the
+        background thread (the train loop resumes dispatching immediately;
+        the reference blocks its epoch on torch.save, ``train_vae.py:675-769``).
+
+        Returns the new best val loss."""
+        improved = val_loss < best_val_loss
+        host = {
+            "params_g": fetch_to_host(state.params_g),
+            "params_d": fetch_to_host(state.params_d),
+        }
+        if improved:
+            host["opt_state_g"] = fetch_to_host(state.opt_state_g)
+            host["opt_state_d"] = fetch_to_host(state.opt_state_d)
+
+        def write_last() -> None:
+            save_pytree(os.path.join(self.model_dir, "autoencoder_last"), host["params_g"])
+            if host["params_d"]:
+                save_pytree(
+                    os.path.join(self.model_dir, "discriminator_last"), host["params_d"]
+                )
+
+        self._writer.submit(write_last)
+        if not improved:
+            return best_val_loss
+
+        prev_best, self.best_epoch_saved = self.best_epoch_saved, epoch
+
+        def write_best() -> None:
+            if prev_best is not None:
+                self._delete_best_files(prev_best)
+            self._write_best_files(
+                epoch, host, val_loss=float(val_loss), total_step=int(total_step)
+            )
+
+        self._writer.submit(write_best)
+        return float(val_loss)
+
+    def _delete_best_files(self, epoch: int) -> None:
+        for stem in (
+            f"checkpoint_epoch{epoch}",
+            f"autoencoder_epoch{epoch}",
+            f"discriminator_epoch{epoch}",
+        ):
+            full = os.path.join(self.model_dir, stem)
+            if os.path.exists(full):
+                shutil.rmtree(full)
+        meta_old = os.path.join(self.model_dir, f"checkpoint_epoch{epoch}.json")
+        if os.path.exists(meta_old):
+            os.remove(meta_old)
+
+    def _write_best_files(
+        self, epoch: int, tree: dict[str, Any], *, val_loss: float, total_step: int
+    ) -> None:
+        save_pytree(os.path.join(self.model_dir, f"autoencoder_epoch{epoch}"), tree["params_g"])
+        if tree["params_d"]:
+            save_pytree(
+                os.path.join(self.model_dir, f"discriminator_epoch{epoch}"), tree["params_d"]
+            )
+        save_pytree(
+            os.path.join(self.model_dir, f"checkpoint_epoch{epoch}"),
+            {
+                "params_g": tree["params_g"],
+                "params_d": tree["params_d"],
+                "opt_state_g": tree["opt_state_g"],
+                "opt_state_d": tree["opt_state_d"],
+            },
+        )
+        with open(
+            os.path.join(self.model_dir, f"checkpoint_epoch{epoch}.json"), "w", encoding="utf-8"
+        ) as fh:
+            json.dump(
+                {"epoch": epoch, "best_val_loss": float(val_loss), "total_step": int(total_step)},
+                fh,
+            )
 
     # -- last -------------------------------------------------------------
     def save_last(self, params_g: Any, params_d: Any | None = None) -> None:
@@ -87,51 +239,26 @@ class CheckpointManager:
     ) -> float:
         """Save the full resume state when ``val_loss`` improves; returns the
         new best value. Deletes the previous best's files like the reference
-        (``train_vae.py:729-737``)."""
+        (``train_vae.py:729-737``). Synchronous — the train loop uses
+        :meth:`save_epoch` instead."""
         if val_loss >= best_val_loss:
             return best_val_loss
         if self.best_epoch_saved is not None:
-            for stem in (
-                f"checkpoint_epoch{self.best_epoch_saved}",
-                f"autoencoder_epoch{self.best_epoch_saved}",
-                f"discriminator_epoch{self.best_epoch_saved}",
-            ):
-                full = os.path.join(self.model_dir, stem)
-                if os.path.exists(full):
-                    shutil.rmtree(full)
-            meta_old = os.path.join(
-                self.model_dir, f"checkpoint_epoch{self.best_epoch_saved}.json"
-            )
-            if os.path.exists(meta_old):
-                os.remove(meta_old)
-
-        save_pytree(os.path.join(self.model_dir, f"autoencoder_epoch{epoch}"), state.params_g)
-        if state.params_d:
-            save_pytree(
-                os.path.join(self.model_dir, f"discriminator_epoch{epoch}"), state.params_d
-            )
-        save_pytree(
-            os.path.join(self.model_dir, f"checkpoint_epoch{epoch}"),
-            {
-                "params_g": state.params_g,
-                "params_d": state.params_d,
-                "opt_state_g": state.opt_state_g,
-                "opt_state_d": state.opt_state_d,
-            },
-        )
-        with open(
-            os.path.join(self.model_dir, f"checkpoint_epoch{epoch}.json"), "w", encoding="utf-8"
-        ) as fh:
-            json.dump(
-                {"epoch": epoch, "best_val_loss": float(val_loss), "total_step": int(total_step)},
-                fh,
-            )
+            self._delete_best_files(self.best_epoch_saved)
+        host = {
+            "params_g": fetch_to_host(state.params_g),
+            "params_d": fetch_to_host(state.params_d),
+            "opt_state_g": fetch_to_host(state.opt_state_g),
+            "opt_state_d": fetch_to_host(state.opt_state_d),
+        }
+        self._write_best_files(epoch, host, val_loss=float(val_loss), total_step=int(total_step))
         self.best_epoch_saved = epoch
         return float(val_loss)
 
     # -- resume -----------------------------------------------------------
     def find_latest_full(self) -> tuple[str, dict] | None:
         """Locate the newest ``checkpoint_epoch{N}`` + sidecar."""
+        self._writer.wait()  # a pending background write may hold the newest
         best = None
         for name in os.listdir(self.model_dir):
             if name.startswith("checkpoint_epoch") and name.endswith(".json"):

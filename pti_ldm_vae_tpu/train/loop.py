@@ -326,8 +326,11 @@ class VAETrainer:
         step_fn = self._train_steps[self._adv_active(epoch)]
         # Metrics stay on device during the epoch (no per-step host sync —
         # float() every step would serialize dispatch); flushed after the
-        # last batch with correct step numbering.
+        # last batch with correct step numbering. The batch-0 debug print and
+        # triplet dump are deferred the same way (device refs held, host
+        # reads after the loop) so even step 0 doesn't block the pipeline.
         buffered: list[tuple[int, dict]] = []
+        batch0: tuple[dict, Any] | None = None
         for step, batch in enumerate(self.train_loader):
             images, mask, attrs = self._device_batch(batch)
             self.run_key, step_key = jax.random.split(self.run_key)
@@ -350,28 +353,34 @@ class VAETrainer:
             if self.rank == 0 and (step % self.log_every == 0):
                 buffered.append((self.total_step, metrics))
             if step == 0 and self.rank == 0:
-                # KL-explosion debug stats (reference ``train_vae.py:432-442``).
-                print(
-                    f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics['debug/z_mu_mean']):.4f} | "
-                    f"z_sigma mean={float(metrics['debug/z_sigma_mean']):.4f} | "
-                    f"kl_loss={float(metrics['train/kl_loss']):.4f}"
-                )
-                # Train triplet panel for batch 0 (reference ``train_vae.py:479-493``).
-                self._log_train_triplet(images, epoch)
+                batch0 = (metrics, images)
+        if batch0 is not None:
+            metrics0, img0 = batch0
+            img0 = first_local_rows(img0)[:1]
+            # KL-explosion debug stats (reference ``train_vae.py:432-442``).
+            print(
+                f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics0['debug/z_mu_mean']):.4f} | "
+                f"z_sigma mean={float(metrics0['debug/z_sigma_mean']):.4f} | "
+                f"kl_loss={float(metrics0['train/kl_loss']):.4f}"
+            )
+            # Train triplet panel for batch 0 (reference ``train_vae.py:479-493``).
+            self._log_train_triplet(img0, epoch)
         for step_num, metrics in buffered:
             payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
             payload["train/step"] = step_num
             self.logger.log(payload, step=step_num)
 
-    def _log_train_triplet(self, images, epoch: int) -> None:
+    def _log_train_triplet(self, img, epoch: int) -> None:
         """[original | reconstruction | diff] panel for the epoch's first
-        image, rot90 k=3 display convention (reference ``train_vae.py:479-493``)."""
+        image, rot90 k=3 display convention (reference ``train_vae.py:479-493``).
+        Called after the epoch's dispatch loop (reconstruction uses
+        end-of-epoch weights) so the host read never stalls training."""
         if not hasattr(self, "_triplet_infer"):
             from .steps import make_inference_fn
 
             self._triplet_infer = make_inference_fn(self.model)
-        img = first_local_rows(images)[:1]
         recon = np.asarray(self._triplet_infer(self.state.params_g, jnp.asarray(img)))
+        img = np.asarray(img)
         diff = np.abs(img - recon)
         panels = np.concatenate([
             normalize_batch_for_display(img),
@@ -386,7 +395,10 @@ class VAETrainer:
         """Returns epoch-mean reconstruction loss (the best-model criterion,
         reference ``validate`` -> ``val_recon_epoch_loss``)."""
         eval_fn = self._eval_steps[self._adv_active(epoch)]
-        sums: dict[str, float] = {}
+        # Metric sums accumulate ON DEVICE (tiny adds, dispatched async);
+        # float() per metric per batch would serialize dispatch exactly the
+        # way the train loop avoids. One host transfer after the loop.
+        sums: dict[str, jnp.ndarray] | None = None
         n_batches = 0
         start_epoch_to_save, save_every = 10, 5
         do_save_images = (
@@ -397,29 +409,37 @@ class VAETrainer:
             for sub in ("originale", "reconstruction", "diff"):
                 (epoch_dir / sub).mkdir(parents=True, exist_ok=True)
 
+        dumps: list[tuple[int, Any, Any]] = []
         for step, batch in enumerate(self.val_loader):
             images, mask, attrs = self._device_batch(batch)
             self.run_key, step_key = jax.random.split(self.run_key)
             metrics, recon = eval_fn(
                 self.state, images, mask, attrs, self.lpips_params, step_key
             )
-            for key, val in metrics.items():
-                sums[key] = sums.get(key, 0.0) + float(val)
+            sums = metrics if sums is None else jax.tree.map(jnp.add, sums, metrics)
             n_batches += 1
 
             if do_save_images:
-                img = first_local_rows(images)[0, :, :, 0]
-                rec = first_local_rows(recon)[0, :, :, 0]
-                diff = np.abs(img - rec)
-                # rot90 k=3 display convention (reference ``train_vae.py:616-618``)
-                epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"
-                write_tif(str(epoch_dir / "originale" / f"step{step:03}.tif"), np.rot90(img, k=3))
-                write_tif(
-                    str(epoch_dir / "reconstruction" / f"step{step:03}.tif"), np.rot90(rec, k=3)
-                )
-                write_tif(str(epoch_dir / "diff" / f"step{step:03}.tif"), np.rot90(diff, k=3))
+                # Slice the dump rows on device now (small buffers), write
+                # after the loop — TIF IO never blocks the next eval dispatch.
+                dumps.append((
+                    step,
+                    first_local_rows(images)[0, :, :, 0],
+                    first_local_rows(recon)[0, :, :, 0],
+                ))
 
-        means = {k: v / max(n_batches, 1) for k, v in sums.items()}
+        for step, img_dev, rec_dev in dumps:
+            img, rec = np.asarray(img_dev), np.asarray(rec_dev)
+            diff = np.abs(img - rec)
+            # rot90 k=3 display convention (reference ``train_vae.py:616-618``)
+            epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"
+            write_tif(str(epoch_dir / "originale" / f"step{step:03}.tif"), np.rot90(img, k=3))
+            write_tif(
+                str(epoch_dir / "reconstruction" / f"step{step:03}.tif"), np.rot90(rec, k=3)
+            )
+            write_tif(str(epoch_dir / "diff" / f"step{step:03}.tif"), np.rot90(diff, k=3))
+
+        means = {k: float(v) / max(n_batches, 1) for k, v in (sums or {}).items()}
         val_total = compute_total_loss(
             means.get("recon_loss", 0.0),
             means.get("kl_loss", 0.0),
@@ -463,13 +483,17 @@ class VAETrainer:
                     elapsed = time.time() - start_time
                     print(f"Epoch {epoch} val_loss: {val_loss:.4f} | Time: {elapsed:.1f}s")
                     self.logger.log({"time_per_epoch": elapsed, "epoch": epoch})
-                    self.ckpt.save_last(self.state.params_g, self.state.params_d or None)
-                    self.best_val_loss = self.ckpt.save_best(
-                        epoch,
+                    # One device->host fetch for last+best combined, disk
+                    # writes on the checkpoint manager's background thread —
+                    # the next epoch starts dispatching immediately.
+                    self.best_val_loss = self.ckpt.save_epoch(
                         state=self.state,
+                        epoch=epoch,
                         val_loss=val_loss,
                         best_val_loss=self.best_val_loss,
                         total_step=self.total_step,
                     )
+        if self.rank == 0:
+            self.ckpt.wait()
         self.logger.finish()
         return {"best_val_loss": self.best_val_loss, "total_step": self.total_step}
