@@ -1,4 +1,4 @@
-"""Flash attention Pallas TPU kernel (forward).
+"""Flash attention Pallas TPU kernels (forward + backward).
 
 Tiled softmax attention for the VAE bottleneck / UNet spatial attention.
 Sequence lengths here are spatial token counts (32x32 = 1024 at the default
@@ -6,9 +6,14 @@ config), so a q-tile of 256 with full-resident k/v keeps everything in VMEM
 while the running-max/running-sum recurrence keeps the kernel correct for
 much larger maps (image-resolution scaling, SURVEY.md §5.7).
 
-Backward currently rematerializes through the XLA reference attention
-(``ops.attention.multi_head_attention``) via ``jax.custom_vjp`` — the
-standard remat trade for memory-bound kernels.
+Backward: at the bottleneck's sizes the full [S, S] score matrix fits VMEM
+(S=1024 -> 4 MB f32), so the backward is ONE whole-matrix kernel per
+(batch, head): recompute p = softmax(qk^T), then
+``dv = p^T g``, ``dp = g v^T``, ``ds = p * (dp - rowsum(dp * p))``,
+``dq = ds k * scale``, ``dk = ds^T q * scale`` — five MXU matmuls, zero
+intermediate HBM traffic. Sizes whose VMEM footprint exceeds the budget
+fall back to rematerializing through the XLA reference attention (the
+standard remat trade), as does the CPU backend.
 """
 
 from __future__ import annotations
@@ -70,6 +75,56 @@ def _forward(q, k, v):
     )(q, k, v)
 
 
+def _bwd_kernel(q_ref, k_ref, v_ref, g_ref, dq_ref, dk_ref, dv_ref, *, scale: float):
+    q = q_ref[:].astype(jnp.float32)   # [S, D]
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    g = g_ref[:].astype(jnp.float32)
+
+    scores = jnp.dot(q, k.T, preferred_element_type=jnp.float32) * scale  # [S, S]
+    m = jnp.max(scores, axis=1, keepdims=True)
+    p = jnp.exp(scores - m)
+    p = p / jnp.sum(p, axis=1, keepdims=True)
+
+    dv = jnp.dot(p.T, g, preferred_element_type=jnp.float32)
+    dp = jnp.dot(g, v.T, preferred_element_type=jnp.float32)
+    delta = jnp.sum(dp * p, axis=1, keepdims=True)
+    ds = p * (dp - delta)
+    dq = jnp.dot(ds, k, preferred_element_type=jnp.float32) * scale
+    dk = jnp.dot(ds.T, q, preferred_element_type=jnp.float32) * scale
+
+    dq_ref[:] = dq.astype(dq_ref.dtype)
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
+
+
+# VMEM budget for the whole-matrix backward: ~2 live [S,S] f32 buffers
+# (scores/p and dp/ds alias in sequence) + [S,D] operands/outputs.
+_BWD_VMEM_BUDGET = 14 * 1024 * 1024
+
+
+def _bwd_pallas_supported(s: int, d: int) -> bool:
+    footprint = 2 * s * s * 4 + 10 * s * d * 4
+    return footprint <= _BWD_VMEM_BUDGET
+
+
+def _bwd_pallas(q, k, v, g):
+    b, h, s, d = q.shape
+    kernel = functools.partial(_bwd_kernel, scale=d**-0.5)
+    full = pl.BlockSpec((None, None, s, d), lambda i, j: (i, j, 0, 0))
+    return pl.pallas_call(
+        kernel,
+        grid=(b, h),
+        in_specs=[full, full, full, full],
+        out_specs=[full, full, full],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, h, s, d), q.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), k.dtype),
+            jax.ShapeDtypeStruct((b, h, s, d), v.dtype),
+        ],
+    )(q, k, v, g)
+
+
 def _xla_reference(q, k, v):
     d = q.shape[-1]
     scores = jnp.einsum("bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32)
@@ -89,6 +144,9 @@ def _fwd(q, k, v):
 
 def _bwd(residuals, g):
     q, k, v = residuals
+    s, d = q.shape[-2], q.shape[-1]
+    if jax.default_backend() == "tpu" and _bwd_pallas_supported(s, d):
+        return _bwd_pallas(q, k, v, g)
     _, vjp = jax.vjp(_xla_reference, q, k, v)
     return vjp(g)
 

@@ -1,8 +1,8 @@
-"""Fused GroupNorm + SiLU Pallas TPU kernel.
+"""Fused GroupNorm + SiLU Pallas TPU kernels (forward AND backward).
 
-The VAE hot loop is a chain of [GroupNorm -> SiLU -> Conv] blocks; this kernel
-computes the norm statistics and the normalized+activated output in a single
-VMEM-resident pass per image (grid over batch). Math matches
+The VAE hot loop is a chain of [GroupNorm -> SiLU -> Conv] blocks; the forward
+kernel computes the norm statistics and the normalized+activated output in a
+single VMEM-resident pass per image (grid over batch). Math matches
 ``ops.norm.group_norm_silu`` (f32 statistics, biased variance, torch GroupNorm
 semantics), with the elementwise normalize running in the input dtype (bf16 on
 TPU) so no f32 copy of the activation is materialized.
@@ -11,8 +11,20 @@ Mosaic-friendly structure: everything stays 2-D — channel->group reduction and
 the group->channel broadcast are expressed as tiny matmuls against a constant
 one-hot [C, G] map (runs on the MXU; no lane-dim reshapes, no 1-D iota).
 
-Backward: ``jax.custom_vjp`` recomputing through the XLA reference formulation
-(rematerialization — the standard TPU memory/FLOPs trade).
+Backward (the train step runs two of these chains per ResBlock): the forward
+saves the per-group statistics as residuals, so the backward needs no stats
+recompute — two row-blocked Pallas passes:
+
+1. reduce: per-batch channel sums ``r1 = sum(dn)`` and ``r2 = sum(dn*xhat)``
+   (dn = upstream grad through the SiLU derivative), accumulated across the
+   row-block grid axis (sequential on a TPU core);
+2. dx: ``inv * (dn*gamma - A_g/m - xhat * B_g/m)`` with the group terms
+   ``A_g = sum_g(gamma*r1)``, ``B_g = sum_g(gamma*r2)`` folded per-batch in
+   XLA between the two calls (tiny [B,G] math).
+
+``dgamma = sum_b r2``, ``dbeta = sum_b r1``. Row blocks bound VMEM to ~2 MB
+per operand regardless of image size. On non-TPU backends the custom_vjp
+falls back to the XLA reference recompute.
 """
 
 from __future__ import annotations
@@ -37,7 +49,16 @@ def _group_map_np(channels: int, num_groups: int) -> np.ndarray:
     return mat
 
 
-def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref,
+def _row_chunk(hw: int, cap: int = 2048) -> int:
+    chunk = hw
+    while chunk > cap:
+        if chunk % 2:
+            break
+        chunk //= 2
+    return chunk
+
+
+def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref, mean_ref, inv_ref,
             *, eps: float, count: int, chunk: int):
     """Two chunked passes over [HW, C]: f32 temporaries never exceed one
     ``chunk`` of rows, so VMEM stays bounded regardless of image size."""
@@ -59,6 +80,9 @@ def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref,
     mean_g = gsum / count
     var_g = gsumsq / count - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
+    # Residuals for the fused backward (no stats recompute there).
+    mean_ref[:] = mean_g
+    inv_ref[:] = inv_g
 
     mean_c = jnp.dot(mean_g, gmap.T, preferred_element_type=jnp.float32)  # [1, C]
     inv_c = jnp.dot(inv_g, gmap.T, preferred_element_type=jnp.float32)
@@ -81,19 +105,16 @@ def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref,
 
 
 def _forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
-             num_groups: int, eps: float) -> jnp.ndarray:
+             num_groups: int, eps: float):
+    """Returns (out [B,H,W,C], mean_g [B,G], inv_g [B,G])."""
     b, h, w, c = x.shape
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
     hw = h * w
     count = hw * (c // num_groups)
-    chunk = hw
-    while chunk > 2048:  # largest power-of-two-ish divisor of hw <= 2048 rows
-        if chunk % 2:
-            break
-        chunk //= 2
+    chunk = _row_chunk(hw)
     kernel = functools.partial(_kernel, eps=eps, count=count, chunk=chunk)
-    out = pl.pallas_call(
+    out, mean_g, inv_g = pl.pallas_call(
         kernel,
         grid=(b,),
         in_specs=[
@@ -102,15 +123,139 @@ def _forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
             pl.BlockSpec((1, c), lambda i: (0, 0)),
             pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+        out_specs=[
+            pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, num_groups), lambda i: (i, 0)),
+            pl.BlockSpec((1, num_groups), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+            jax.ShapeDtypeStruct((b, num_groups), jnp.float32),
+            jax.ShapeDtypeStruct((b, num_groups), jnp.float32),
+        ],
     )(
         x.reshape(b, hw, c),
         scale.reshape(1, c),
         bias.reshape(1, c),
         jnp.asarray(_group_map_np(c, num_groups)),
     )
-    return out.reshape(b, h, w, c)
+    return out.reshape(b, h, w, c), mean_g, inv_g
+
+
+def _dn_terms(xb, gb, mean_c, inv_c, scale, bias):
+    """Shared recompute: xhat and dn = dL/d(norm-affine output) through SiLU."""
+    xhat = (xb - mean_c) * inv_c
+    n = xhat * scale + bias
+    sig = jax.lax.logistic(n)
+    dn = gb * sig * (1.0 + n * (1.0 - sig))
+    return xhat, dn
+
+
+def _bwd_reduce_kernel(x_ref, g_ref, mean_ref, inv_ref, scale_ref, bias_ref,
+                       r1_ref, r2_ref):
+    """Accumulate r1 = sum(dn), r2 = sum(dn*xhat) over the row-block axis."""
+    j = pl.program_id(1)
+    xb = x_ref[:].astype(jnp.float32)
+    gb = g_ref[:].astype(jnp.float32)
+    xhat, dn = _dn_terms(xb, gb, mean_ref[:], inv_ref[:],
+                         scale_ref[:].astype(jnp.float32),
+                         bias_ref[:].astype(jnp.float32))
+    p1 = jnp.sum(dn, axis=0, keepdims=True)
+    p2 = jnp.sum(dn * xhat, axis=0, keepdims=True)
+
+    @pl.when(j == 0)
+    def _():
+        r1_ref[:] = p1
+        r2_ref[:] = p2
+
+    @pl.when(j != 0)
+    def _():
+        r1_ref[:] += p1
+        r2_ref[:] += p2
+
+
+def _bwd_dx_kernel(x_ref, g_ref, mean_ref, inv_ref, scale_ref, bias_ref,
+                   a_ref, b_ref, dx_ref):
+    """dx = inv * (dn*gamma - a_c - xhat*b_c) for one row block."""
+    xb = x_ref[:].astype(jnp.float32)
+    gb = g_ref[:].astype(jnp.float32)
+    inv_c = inv_ref[:]
+    xhat, dn = _dn_terms(xb, gb, mean_ref[:], inv_c,
+                         scale_ref[:].astype(jnp.float32),
+                         bias_ref[:].astype(jnp.float32))
+    dxhat = dn * scale_ref[:].astype(jnp.float32)
+    dx = inv_c * (dxhat - a_ref[:] - xhat * b_ref[:])
+    dx_ref[:] = dx.astype(dx_ref.dtype)
+
+
+def _bwd_pallas(x, scale, bias, mean_g, inv_g, g, num_groups: int):
+    """Fused backward: (dx, dscale, dbias). All Pallas except tiny [B,G] glue."""
+    b, h, w, c = x.shape
+    hw = h * w
+    count = hw * (c // num_groups)
+    chunk = _row_chunk(hw)
+    nb = hw // chunk
+    gmap = jnp.asarray(_group_map_np(c, num_groups))  # [C, G]
+
+    x2 = x.reshape(b, hw, c)
+    g2 = g.reshape(b, hw, c)
+    scale2 = scale.reshape(1, c).astype(jnp.float32)
+    bias2 = bias.reshape(1, c).astype(jnp.float32)
+    # Per-batch per-channel stats rows for the kernels.
+    mean_c = jnp.dot(mean_g, gmap.T)  # [B, C]
+    inv_c = jnp.dot(inv_g, gmap.T)
+
+    row_block = lambda i, j: (i, j, 0)
+    per_batch_row = lambda i, j: (i, 0)
+    const_row = lambda i, j: (0, 0)
+
+    r1, r2 = pl.pallas_call(
+        _bwd_reduce_kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((None, chunk, c), row_block),
+            pl.BlockSpec((None, chunk, c), row_block),
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), const_row),
+            pl.BlockSpec((1, c), const_row),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), per_batch_row),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+            jax.ShapeDtypeStruct((b, c), jnp.float32),
+        ],
+    )(x2, g2, mean_c, inv_c, scale2, bias2)
+
+    # Group-fold the correction terms (tiny XLA math between the two calls).
+    a_g = jnp.dot(r1 * scale2, gmap) / count  # [B, G]
+    b_g = jnp.dot(r2 * scale2, gmap) / count
+    a_c = jnp.dot(a_g, gmap.T)  # [B, C]
+    b_c = jnp.dot(b_g, gmap.T)
+
+    dx = pl.pallas_call(
+        _bwd_dx_kernel,
+        grid=(b, nb),
+        in_specs=[
+            pl.BlockSpec((None, chunk, c), row_block),
+            pl.BlockSpec((None, chunk, c), row_block),
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), const_row),
+            pl.BlockSpec((1, c), const_row),
+            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((1, c), per_batch_row),
+        ],
+        out_specs=pl.BlockSpec((None, chunk, c), row_block),
+        out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
+    )(x2, g2, mean_c, inv_c, scale2, bias2, a_c, b_c)
+
+    dscale = jnp.sum(r2, axis=0).astype(scale.dtype).reshape(scale.shape)
+    dbias = jnp.sum(r1, axis=0).astype(bias.dtype).reshape(bias.shape)
+    return dx.reshape(b, h, w, c), dscale, dbias
 
 
 def _xla_reference(x, scale, bias, num_groups, eps):
@@ -124,15 +269,19 @@ def _xla_reference(x, scale, bias, num_groups, eps):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def groupnorm_silu_pallas(x, scale, bias, num_groups: int, eps: float = 1e-6):
     """silu(group_norm(x, scale, bias)) on NHWC via a fused Pallas kernel."""
-    return _forward(x, scale, bias, num_groups, eps)
+    out, _, _ = _forward(x, scale, bias, num_groups, eps)
+    return out
 
 
 def _fwd(x, scale, bias, num_groups, eps):
-    return _forward(x, scale, bias, num_groups, eps), (x, scale, bias)
+    out, mean_g, inv_g = _forward(x, scale, bias, num_groups, eps)
+    return out, (x, scale, bias, mean_g, inv_g)
 
 
 def _bwd(num_groups, eps, residuals, g):
-    x, scale, bias = residuals
+    x, scale, bias, mean_g, inv_g = residuals
+    if jax.default_backend() == "tpu":
+        return _bwd_pallas(x, scale, bias, mean_g, inv_g, g, num_groups)
     _, vjp = jax.vjp(lambda xx, ss, bb: _xla_reference(xx, ss, bb, num_groups, eps),
                      x, scale, bias)
     return vjp(g)
