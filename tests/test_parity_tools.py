@@ -64,3 +64,91 @@ def test_parity_checker_fails_on_perturbed_weights(dump_dir, tmp_path):
     sd[key] = sd[key] + 0.05
     torch.save(sd, bad / "state_dict.pth")
     assert check_main([str(bad)]) == 1
+
+
+def test_full_parity_jax_side(dump_dir, tmp_path, monkeypatch):
+    """The turnkey aggregator (run_full_parity.py jax-side) consumes a full
+    synthetic dump layout — VAE config dir + disc/ + unet/ + weights/ — and
+    writes a passing PARITY_REPORT.json."""
+    import shutil
+
+    from pti_ldm_vae_tpu.checkpoint.torch_convert import (
+        disc_from_torch_state_dict,
+        disc_to_torch_state_dict,
+    )
+    from pti_ldm_vae_tpu.checkpoint.unet_convert import unet_to_torch_state_dict
+    from pti_ldm_vae_tpu.models.discriminator import PatchDiscriminator
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.models.unet import DiffusionUNet
+    from tools.run_full_parity import jax_side
+
+    dumps = tmp_path / "dumps"
+    dumps.mkdir()
+    shutil.copytree(dump_dir, dumps / "vae_tiny")
+
+    # discriminator dump (reference construction: num_layers_d=3, channels=32)
+    disc = PatchDiscriminator(spatial_dims=2, num_layers_d=3, channels=32,
+                              in_channels=1, out_channels=1)
+    dvars = disc.init(jax.random.key(2), jnp.zeros((1, 32, 32, 1)))
+    disc_sd = disc_to_torch_state_dict(dvars)
+    rng = np.random.default_rng(3)
+    x = rng.uniform(0.0, 1.0, size=(2, 1, 32, 32)).astype(np.float32)
+    feats = disc.apply(disc_from_torch_state_dict(disc_sd), np.moveaxis(x, 1, -1))
+    disc_dir = dumps / "vae_tiny" / "disc"
+    disc_dir.mkdir()
+    np.savez(disc_dir / "activations.npz", input=x,
+             logits=np.moveaxis(np.asarray(feats[-1]), -1, 1))
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in disc_sd.items()}, disc_dir / "state_dict.pth")
+
+    # unet dump at the tiny conditioned config
+    from test_unet_convert import CFG as UNET_CFG
+
+    unet = DiffusionUNet(
+        **{**UNET_CFG, "channels": tuple(UNET_CFG["channels"]),
+           "attention_levels": tuple(UNET_CFG["attention_levels"]),
+           "num_head_channels": tuple(UNET_CFG["num_head_channels"])}
+    )
+    uvars = unet.init(jax.random.key(4), jnp.zeros((1, 8, 8, 2)),
+                      jnp.zeros((1,), jnp.int32), jnp.zeros((1, 6, 12)))
+    xu = rng.standard_normal((2, 2, 8, 8)).astype(np.float32)
+    tu = np.asarray([0, 5], dtype=np.int64)
+    ctx = rng.standard_normal((2, 6, 12)).astype(np.float32)
+    eps = unet.apply(uvars, jnp.asarray(np.moveaxis(xu, 1, -1)),
+                     jnp.asarray(tu).astype(jnp.int32), jnp.asarray(ctx))
+    unet_dir = dumps / "unet"
+    unet_dir.mkdir()
+    np.savez(unet_dir / "activations.npz", input=xu, timesteps=tu, context=ctx,
+             eps=np.moveaxis(np.asarray(eps), -1, 1))
+    usd = unet_to_torch_state_dict(uvars, UNET_CFG)
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v))
+                for k, v in usd.items()}, unet_dir / "state_dict.pth")
+    (unet_dir / "diffusion_def.json").write_text(json.dumps(UNET_CFG))
+
+    # converted-weights dir: flatten an LPIPS tree into the converter's npz layout
+    weights_dir = dumps / "weights"
+    weights_dir.mkdir()
+    flat = {}
+
+    def _flatten(node, prefix=""):
+        for key, val in node.items():
+            if key == "_pretrained":
+                continue
+            if isinstance(val, dict):
+                _flatten(val, f"{prefix}{key}/")
+            else:
+                flat[f"{prefix}{key}"] = np.asarray(val)
+
+    _flatten(init_lpips_params())
+    np.savez(weights_dir / "lpips_squeeze.npz", **flat)
+
+    monkeypatch.setenv("PTI_LPIPS_WEIGHTS", "unused")  # restored after test
+    report_path = tmp_path / "PARITY_REPORT.json"
+    rc = jax_side(str(dumps), 1e-3, str(report_path))
+    report = json.loads(report_path.read_text())
+    assert rc == 0, report
+    assert report["overall"] == "ok"
+    assert report["configs"]["vae_tiny"]["status"] == "ok"
+    assert "disc_logits" in report["configs"]["vae_tiny"]["divergences"]
+    assert report["unet"]["status"] == "ok"
+    assert report["lpips_evaluate"]["perceptual_pretrained"] is True

@@ -62,12 +62,75 @@ def check(dump_dir: str) -> dict[str, float]:
     return divergences
 
 
+def check_disc(disc_dir: str) -> dict[str, float]:
+    """Discriminator dump (``dump_reference_activations.py --discriminator``)
+    -> max |delta logits| through the MONAI-keyed converter."""
+    import jax
+    import torch
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pti_ldm_vae_tpu.checkpoint.torch_convert import disc_from_torch_state_dict
+    from pti_ldm_vae_tpu.models.discriminator import PatchDiscriminator
+
+    dump = np.load(os.path.join(disc_dir, "activations.npz"))
+    sd = torch.load(os.path.join(disc_dir, "state_dict.pth"), map_location="cpu",
+                    weights_only=False)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    spatial_dims = dump["input"].ndim - 2
+    disc = PatchDiscriminator(
+        spatial_dims=spatial_dims, num_layers_d=3, channels=32,
+        in_channels=1, out_channels=1,
+    )
+    variables = disc_from_torch_state_dict(sd)
+    x = np.moveaxis(dump["input"], 1, -1)  # NCHW -> NHWC
+    feats = disc.apply(variables, x)
+    logits = np.moveaxis(np.asarray(feats[-1]), -1, 1)
+    return {"disc_logits": float(np.max(np.abs(logits - dump["logits"])))}
+
+
+def check_unet(unet_dir: str) -> dict[str, float]:
+    """UNet dump (``dump_reference_activations.py --unet``) -> max
+    |delta eps| through the MONAI-keyed converter (exact mode: XLA
+    attention, HIGHEST matmul precision)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    jax.config.update("jax_default_matmul_precision", "highest")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pti_ldm_vae_tpu.checkpoint.unet_convert import unet_from_torch_state_dict
+    from pti_ldm_vae_tpu.models.unet import diffusion_unet_from_config
+
+    with open(os.path.join(unet_dir, "diffusion_def.json"), encoding="utf-8") as fh:
+        diffusion_def = json.load(fh)
+    dump = np.load(os.path.join(unet_dir, "activations.npz"))
+    sd = torch.load(os.path.join(unet_dir, "state_dict.pth"), map_location="cpu",
+                    weights_only=False)
+    sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
+
+    unet = diffusion_unet_from_config(diffusion_def, compute_dtype=jnp.float32)
+    variables = unet_from_torch_state_dict(sd, diffusion_def)
+    x = jnp.asarray(np.moveaxis(dump["input"], 1, -1))
+    eps = unet.apply(variables, x, jnp.asarray(dump["timesteps"]).astype(jnp.int32),
+                     jnp.asarray(dump["context"]))
+    eps_nchw = np.moveaxis(np.asarray(eps), -1, 1)
+    return {"unet_eps": float(np.max(np.abs(eps_nchw - dump["eps"])))}
+
+
 def main(argv=None) -> int:
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("dump_dir")
     parser.add_argument("--tol", type=float, default=1e-3)
     args = parser.parse_args(argv)
     divergences = check(args.dump_dir)
+    if os.path.exists(os.path.join(args.dump_dir, "disc")):
+        divergences.update(check_disc(os.path.join(args.dump_dir, "disc")))
+    if os.path.exists(os.path.join(args.dump_dir, "unet")):
+        divergences.update(check_unet(os.path.join(args.dump_dir, "unet")))
     ok = True
     for name, val in divergences.items():
         status = "OK " if val <= args.tol else "FAIL"
