@@ -122,6 +122,18 @@ def _stats(times: list[float], iters: int, batch: int, flops_per_step: float,
     return out
 
 
+def _is_memory_failure(exc: Exception) -> bool:
+    """True only for memory-exhaustion failures. Tunnel remote-compile
+    wrappers (``remote_compile``/``tpu_compile_helper``) are NOT benign by
+    themselves — only when their message names a memory cause; a genuine
+    compile regression at a probed batch must propagate."""
+    msg = f"{type(exc).__name__}: {exc}"
+    return any(tok in msg for tok in
+               ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
+                "out of memory", "exceeds the amount of memory available",
+                "Attempting to allocate"))
+
+
 def bench_train(model, lpips_params, make_step_fn, batch: int, peak_tf, peak_bw) -> dict:
     from pti_ldm_vae_tpu.train.state import create_train_state
 
@@ -173,19 +185,53 @@ def bench_inference(model, params_g, batch: int, peak_tf, peak_bw) -> dict:
     return _stats(times, ITERS, batch, flops, bytes_acc, peak_tf, peak_bw)
 
 
-def bench_ddim(peak_tf, peak_bw, num_steps: int = 50, batch: int = 8) -> dict:
-    """DDIM sampling in the 32² latent space (ldm_dente.json UNet)."""
-    from pti_ldm_vae_tpu.models.unet import DiffusionUNet
-    from pti_ldm_vae_tpu.train.diffusion import NoiseSchedule, ddim_sample
+def _flagship_ldm():
+    """The shipped flagship LDM: UNet built from ``config/ldm_dente.json``
+    (NOT a default constructor) + 32²-latent cross-attention conditioning
+    (1024 context tokens — the reference conditioning recipe projects the
+    full conditioning latent, ``models/README.md:113-126``)."""
+    from pti_ldm_vae_tpu.config import load_config
+    from pti_ldm_vae_tpu.models.unet import ConditionProjector, diffusion_unet_from_config
+    from pti_ldm_vae_tpu.train.diffusion import NoiseSchedule
 
+    cfg = load_config(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "config", "ldm_dente.json")
+    )
     on_tpu = jax.default_backend() == "tpu"
-    unet = DiffusionUNet(compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32)
-    latent_shape = (batch, 32, 32, 4)
-    context = jnp.zeros((batch, 16, 512), jnp.float32)
+    unet = diffusion_unet_from_config(
+        cfg["diffusion_def"],
+        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+    )
+    schedule = NoiseSchedule.linear_beta(
+        int(cfg["diffusion_train"].get("num_train_timesteps", 1000)),
+        float(cfg["diffusion_train"].get("beta_start", 1e-4)),
+        float(cfg["diffusion_train"].get("beta_end", 2e-2)),
+    )
+    projector = ConditionProjector(
+        cross_attention_dim=cfg["diffusion_def"].get("cross_attention_dim", 512)
+    )
+    latent_hw, latent_ch = 32, cfg["diffusion_def"]["in_channels"]  # 256² / 8 downsamples
+    steps = int(cfg.get("sampling", {}).get("num_inference_steps", 50))
+    return unet, projector, schedule, latent_hw, latent_ch, steps
+
+
+def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
+    """DDIM sampling in the 32² latent space — flagship ``ldm_dente.json``
+    UNet with full 1024-token conditioning context."""
+    from pti_ldm_vae_tpu.train.diffusion import ddim_sample
+
+    unet, projector, schedule, lhw, lch, num_steps = _flagship_ldm()
+    latent_shape = (batch, lhw, lhw, lch)
+    # conditioning: a 32² VAE latent -> 1024 tokens -> Linear(512)
+    rngc = np.random.default_rng(4)
+    cond_tokens = jnp.asarray(
+        rngc.standard_normal((batch, lhw * lhw, lch)).astype(np.float32)
+    )
+    proj_params = projector.init(jax.random.key(5), cond_tokens)
+    context = projector.apply(proj_params, cond_tokens)
     params = jax.jit(unet.init)(
         jax.random.key(0), jnp.zeros(latent_shape), jnp.zeros((batch,), jnp.int32), context
     )
-    schedule = NoiseSchedule.linear_beta()
 
     sample = jax.jit(
         lambda p, key: ddim_sample(
@@ -193,7 +239,9 @@ def bench_ddim(peak_tf, peak_bw, num_steps: int = 50, batch: int = 8) -> dict:
             num_inference_steps=num_steps, context=context,
         )
     )
-    flops = float(_cost(sample, params, jax.random.key(1)).get("flops", 0.0))
+    cost = _cost(sample, params, jax.random.key(1))
+    flops = float(cost.get("flops", 0.0))
+    bytes_acc = float(cost.get("bytes accessed", 0.0))
 
     def run_chain(iters):
         # Chain iterations through a data dependency (fold the previous
@@ -212,16 +260,73 @@ def bench_ddim(peak_tf, peak_bw, num_steps: int = 50, batch: int = 8) -> dict:
     iters = 3
     times = _timed_windows(run_chain, iters=iters, windows=WINDOWS)
     best = min(times)
+    # per-UNet-call roofline: the scan body runs num_steps times per sample
+    per_call_flops = flops / num_steps
+    per_call_bytes = bytes_acc / num_steps
+    call_s = best / (iters * num_steps)
     out = {
         "num_inference_steps": num_steps,
         "batch": batch,
+        "context_tokens": int(cond_tokens.shape[1]),
         "ddim_steps_per_sec": round(num_steps * iters / best, 2),
         "samples_per_sec": round(batch * iters / best, 2),
         "achieved_tflops": round(flops * iters / best / 1e12, 2),
+        "gflop_per_unet_call": round(per_call_flops / 1e9, 2),
+        "achieved_hbm_gbps": round(per_call_bytes / call_s / 1e9, 1),
     }
     if peak_tf and flops:
         out["mfu"] = round(out["achieved_tflops"] / peak_tf, 4)
+    if peak_bw and bytes_acc:
+        out["hbm_util"] = round(out["achieved_hbm_gbps"] / peak_bw, 4)
+    if peak_tf and peak_bw and flops:
+        t_min = max(per_call_flops / (peak_tf * 1e12), per_call_bytes / (peak_bw * 1e9))
+        out["roofline_util"] = round(t_min / call_s, 4)
+        out["bound"] = (
+            "memory" if per_call_bytes / (peak_bw * 1e9) > per_call_flops / (peak_tf * 1e12)
+            else "compute"
+        )
     return out
+
+
+def bench_diffusion_train(peak_tf, peak_bw, batch: int = 8) -> dict:
+    """Flagship LDM epsilon-MSE train step (conditioned) on 32² latents."""
+    import optax
+
+    from pti_ldm_vae_tpu.train.diffusion import make_diffusion_train_step
+
+    unet, projector, schedule, lhw, lch, _ = _flagship_ldm()
+    rng = np.random.default_rng(6)
+    latents = jnp.asarray(rng.standard_normal((batch, lhw, lhw, lch)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((batch, lhw, lhw, lch)).astype(np.float32))
+    tokens = cond.reshape(batch, lhw * lhw, lch)
+    params = {
+        "unet": jax.jit(unet.init)(
+            jax.random.key(0), latents, jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch, lhw * lhw, 512), jnp.float32),
+        ),
+        "projector": projector.init(jax.random.key(1), tokens),
+    }
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(params)
+    step = make_diffusion_train_step(unet, schedule, tx, projector=projector)
+
+    cost = _cost(step, params, opt_state, latents, cond, jax.random.key(2))
+    flops = float(cost.get("flops", 0.0))
+    bytes_acc = float(cost.get("bytes accessed", 0.0))
+
+    holder = {"params": params, "opt": opt_state, "key": jax.random.key(3)}
+
+    def run_chain(iters):
+        for _ in range(iters):
+            holder["key"], sub = jax.random.split(holder["key"])
+            holder["params"], holder["opt"], loss = step(
+                holder["params"], holder["opt"], latents, cond, sub
+            )
+        return holder["params"]["projector"]
+
+    _force(run_chain(WARMUP))
+    times = _timed_windows(run_chain)
+    return _stats(times, ITERS, batch, flops, bytes_acc, peak_tf, peak_bw)
 
 
 def main() -> None:
@@ -268,10 +373,7 @@ def main() -> None:
             # Only memory-exhaustion counts as a benign skip (batch too big
             # for this chip's HBM); anything else is a real bench regression
             # and must fail loudly, not fall back to batch 8.
-            msg = f"{type(exc).__name__}: {exc}"
-            if not any(tok in msg for tok in
-                       ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
-                        "remote_compile", "tpu_compile_helper")):
+            if not _is_memory_failure(exc):
                 raise
             print(f"# batch {cand} skipped (memory): {type(exc).__name__}",
                   file=sys.stderr, flush=True)
@@ -290,10 +392,7 @@ def main() -> None:
         try:
             res = bench_inference(model, params_g, cand, peak_tf, peak_bw)
         except Exception as exc:
-            msg = f"{type(exc).__name__}: {exc}"
-            if not any(tok in msg for tok in
-                       ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
-                        "remote_compile", "tpu_compile_helper")):
+            if not _is_memory_failure(exc):
                 raise
             print(f"# inference batch {cand} skipped (memory): {type(exc).__name__}",
                   file=sys.stderr, flush=True)
@@ -301,7 +400,77 @@ def main() -> None:
         if res["imgs_per_sec"] > infer_best["imgs_per_sec"]:
             infer_best_batch, infer_best = cand, res
 
+    # Adversarial train step (G+D, reference hot loop with adv_enabled —
+    # vae_dente_2 / BASELINE configs[2]): one row at the reference batch.
+    from pti_ldm_vae_tpu.models.discriminator import PatchDiscriminator
+
+    disc = PatchDiscriminator(
+        spatial_dims=2, num_layers_d=3, channels=32, in_channels=1,
+        out_channels=1, compute_dtype=compute_dtype,
+    )
+    lcfg_adv = LossConfig(
+        recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+        adv_weight=3.0, ar_vae_enabled=False, use_perceptual=True,
+    )
+
+    def make_adv_step():
+        return make_train_step(model, disc, lcfg_adv, adv_active=True, donate=True)
+
+    def bench_train_adv(batch):
+        from pti_ldm_vae_tpu.train.state import create_train_state
+
+        rng = np.random.default_rng(9)
+        images = jnp.asarray(rng.uniform(0.1, 1.0, size=(batch, HW, HW, 1)).astype(np.float32))
+        mask = jnp.ones((batch,), jnp.float32)
+        params_g = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
+        params_d = jax.jit(disc.init)(jax.random.key(2), images[:1])
+        state = create_train_state(params_g, lr=2.5e-5, params_d=params_d)
+        step = make_adv_step()
+        cost = _cost(step, state, images, mask, {}, lpips_params, jax.random.key(3))
+        holder = {"state": state, "key": jax.random.key(4)}
+
+        def run_chain(iters):
+            for _ in range(iters):
+                holder["key"], sub = jax.random.split(holder["key"])
+                holder["state"], _m = step(holder["state"], images, mask, {}, lpips_params, sub)
+            return holder["state"].params_g["params"]["quant_conv_mu"]["bias"]
+
+        _force(run_chain(WARMUP))
+        times = _timed_windows(run_chain)
+        return _stats(times, ITERS, batch, float(cost.get("flops", 0.0)),
+                      float(cost.get("bytes accessed", 0.0)), peak_tf, peak_bw)
+
+    train_adv_b8 = bench_train_adv(BATCH)
+
     ddim = bench_ddim(peak_tf, peak_bw)
+    # DDIM batch probe: the b8 MFU question (latency- vs occupancy-bound)
+    # is answered by measuring a large batch on the same program.
+    ddim_best = {"batch": 8, **{k: ddim[k] for k in ddim}}
+    for cand in (64,) if on_tpu else ():
+        try:
+            res = bench_ddim(peak_tf, peak_bw, batch=cand)
+        except Exception as exc:
+            if not _is_memory_failure(exc):
+                raise
+            print(f"# ddim batch {cand} skipped (memory): {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+            continue
+        if res["samples_per_sec"] > ddim_best.get("samples_per_sec", 0):
+            ddim_best = {"batch": cand, **res}
+
+    diffusion_train = bench_diffusion_train(peak_tf, peak_bw)
+    diffusion_train_best = {"batch": BATCH, **diffusion_train}
+    for cand in (64,) if on_tpu else ():
+        try:
+            res = bench_diffusion_train(peak_tf, peak_bw, batch=cand)
+        except Exception as exc:
+            if not _is_memory_failure(exc):
+                raise
+            print(f"# diffusion batch {cand} skipped (memory): {type(exc).__name__}",
+                  file=sys.stderr, flush=True)
+            continue
+        if res["imgs_per_sec"] > diffusion_train_best["imgs_per_sec"]:
+            diffusion_train_best = {"batch": cand, **res}
 
     # Conv-roofline position, recorded (not re-measured here — the per-conv
     # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
@@ -333,7 +502,11 @@ def main() -> None:
         "train_best": {"batch": best_batch, **train_best},
         "inference_encode_decode_b8": infer_b8,
         "inference_encode_decode_best": {"batch": infer_best_batch, **infer_best},
+        "train_adv_b8": train_adv_b8,
         "ddim": ddim,
+        "ddim_best": ddim_best,
+        "diffusion_train_b8": diffusion_train,
+        "diffusion_train_best": diffusion_train_best,
         "conv_roofline_util_recorded": roofline,
         "measurement": (
             f"best of {WINDOWS} windows x {ITERS} chained steps; every window "
