@@ -10,6 +10,7 @@ context tokens. One jitted step (encode + noise + UNet fwd/bwd + Adam).
 from __future__ import annotations
 
 import argparse
+import functools
 from pathlib import Path
 
 import jax
@@ -98,7 +99,9 @@ def main(argv=None) -> dict:
     tx = optax.adam(float(train_cfg["lr"]))
     opt_state = tx.init(params)
 
-    @jax.jit
+    # donate (params, opt_state): the loop reassigns both, so XLA updates
+    # the optimizer state in place instead of allocating a second copy.
+    @functools.partial(jax.jit, donate_argnums=(0, 1))
     def step(params, opt_state, images, mask, rng):
         rng_enc, rng_t, rng_noise = jax.random.split(rng, 3)
         latents = vae.apply(vae_vars, images, rng_enc, method=vae.encode_stage_2_inputs)
@@ -130,17 +133,19 @@ def main(argv=None) -> dict:
     total_step = 0
     for epoch in range(max_epochs):
         loader.set_epoch(epoch)
-        epoch_loss, n = 0.0, 0
+        # loss accumulates ON DEVICE (float() per step would serialize
+        # dispatch — same discipline as the VAE train loop)
+        epoch_loss, n = None, 0
         for batch in loader:
             rng, sub = jax.random.split(rng)
             placed = place_batch(mesh, {"image": batch["image"], "mask": batch["mask"]})
             params, opt_state, loss = step(
                 params, opt_state, placed["image"], placed["mask"], sub
             )
-            epoch_loss += float(loss)
+            epoch_loss = loss if epoch_loss is None else epoch_loss + loss
             n += 1
             total_step += 1
-        mean_loss = epoch_loss / max(n, 1)
+        mean_loss = float(epoch_loss) / max(n, 1) if epoch_loss is not None else 0.0
         print(f"Epoch {epoch}: eps-MSE {mean_loss:.5f}")
         logger.log({"train/eps_mse": mean_loss, "epoch": epoch}, step=total_step)
         save_pytree(str(weights_dir / "diffusion_last"), params)

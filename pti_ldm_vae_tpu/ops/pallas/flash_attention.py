@@ -143,9 +143,14 @@ def _fwd(q, k, v):
 
 
 def _bwd(residuals, g):
+    import os
+
     q, k, v = residuals
     s, d = q.shape[-2], q.shape[-1]
-    if jax.default_backend() == "tpu" and _bwd_pallas_supported(s, d):
+    # PTI_PALLAS_ATTN_BWD=0 forces the XLA-remat backward (A/B measurement
+    # and emergency rollback switch; default: Pallas when it fits VMEM).
+    enabled = os.environ.get("PTI_PALLAS_ATTN_BWD", "1") != "0"
+    if enabled and jax.default_backend() == "tpu" and _bwd_pallas_supported(s, d):
         return _bwd_pallas(q, k, v, g)
     _, vjp = jax.vjp(_xla_reference, q, k, v)
     return vjp(g)

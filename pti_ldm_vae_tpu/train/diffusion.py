@@ -18,6 +18,7 @@ design:
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Callable, NamedTuple
 
 import jax
@@ -111,12 +112,16 @@ def make_diffusion_train_step(
     tx: optax.GradientTransformation,
     *,
     projector=None,
+    donate: bool = True,
 ):
     """Jitted epsilon-MSE train step over (params, opt_state).
 
     ``params`` is ``{"unet": ..., "projector": ...?}``; conditioning latents
     [B, h, w, C] are projected to context tokens when a projector is given
     (reference conditioning recipe, ``models/README.md:113-126``).
+    ``donate`` donates (params, opt_state) buffers — callers follow the
+    ``params, opt_state, loss = step(params, opt_state, ...)`` update
+    pattern, so the old state is dead and XLA can update in place.
     """
 
     def loss_fn(params, latents, cond_latents, rng):
@@ -133,7 +138,7 @@ def make_diffusion_train_step(
         eps_pred = unet.apply(params["unet"], noisy, timesteps, context)
         return jnp.mean(jnp.square(eps_pred - noise))
 
-    @jax.jit
+    @functools.partial(jax.jit, donate_argnums=(0, 1) if donate else ())
     def step(params, opt_state, latents, cond_latents, rng):
         loss, grads = jax.value_and_grad(loss_fn)(params, latents, cond_latents, rng)
         updates, opt_state = tx.update(grads, opt_state, params)

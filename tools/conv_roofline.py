@@ -146,19 +146,76 @@ class SkipConv(Exception):
     """Raised for specs the microbench cannot run (priced by extrapolation)."""
 
 
-def bench_conv(spec: dict, iters: int = 30, windows: int = 3) -> float:
-    """Standalone best-case seconds for one conv spec (min over windows)."""
-    dtype = _DTYPES[spec["dtype"]]
+_OPERAND_GB_CAP = 0.35  # b8-scale operands: known to compile fast on the tunnel
+
+
+def _operand_gb(spec: dict) -> float:
     bytes_per = {"f32": 4, "bf16": 2, "f16": 2}
-    operand_gb = (
+    return (
         np.prod(spec["in"]) * bytes_per[spec["dtype"]]
         + np.prod(spec["kernel"]) * bytes_per[spec["dtype"]]
     ) / 1e9
-    if operand_gb > 1.0:
-        # Giant gradient convs (full-batch filter grads at b128) churn the
-        # remote compiler for ~15 min before failing; price them via
-        # same-family extrapolation instead.
-        raise SkipConv(f"operands {operand_gb:.2f} GB")
+
+
+def _bench_conv_subcontraction(spec: dict, iters: int, windows: int) -> float:
+    """Sub-batch measurement with measured scaling for oversized specs.
+
+    The only specs that exceed the operand cap are full-batch filter-grad
+    convs (dW = X *contract-over-batch* dY): the train batch sits on the
+    contraction axis (lhs feature / rhs input-feature). Shrinking that axis
+    leaves the output shape, strides, and padding untouched and scales the
+    work linearly, so: bench two sub-sizes that compile fast, check the
+    scaling is linear (secant), and extrapolate to the full size. VERDICT
+    round-2: these shapes wedge the remote compiler for ~15 min at b128 —
+    measuring them directly is not an option on this tunnel.
+    """
+    lhs_feat = spec["dims"][0][1]
+    rhs_in = spec["dims"][1][1]
+    n = spec["in"][lhs_feat]
+    if spec["kernel"][rhs_in] != n or spec["groups"] != 1 or spec["batch_groups"] != 1:
+        raise SkipConv("oversized non-filter-grad conv (no sub-batch axis)")
+
+    def shrunk(k: int) -> dict:
+        s = {**spec, "in": list(spec["in"]), "kernel": list(spec["kernel"])}
+        s["in"][lhs_feat] = k
+        s["kernel"][rhs_in] = k
+        return s
+
+    # largest power-of-two sub-size under the cap
+    k2 = n
+    while k2 > 1 and (_operand_gb(shrunk(k2)) > _OPERAND_GB_CAP or k2 == n):
+        k2 //= 2
+    k1 = max(k2 // 2, 1)
+    if k2 < 2 or k1 == k2:
+        raise SkipConv("cannot find a compilable sub-size")
+    t1 = bench_conv(shrunk(k1), iters, windows)
+    t2 = bench_conv(shrunk(k2), iters, windows)
+    ratio = t2 / max(t1, 1e-12)
+    expected = k2 / k1
+    if 0.7 * expected <= ratio <= 1.3 * expected:
+        # linear regime: secant extrapolation absorbs fixed per-call overhead
+        slope = (t2 - t1) / (k2 - k1)
+        t_full = t2 + slope * (n - k2)
+    else:
+        # nonlinear (sub-size still in an efficiency ramp): conservative
+        # proportional scaling from the larger measurement
+        t_full = t2 * n / k2
+    print(f"    sub-batch {spec['in']}x{spec['kernel']}: contraction {n} -> "
+          f"[{k1},{k2}] measured ({t1*1e3:.3f},{t2*1e3:.3f}) ms, ratio {ratio:.2f} "
+          f"(linear={0.7*expected <= ratio <= 1.3*expected}) -> {t_full*1e3:.3f} ms",
+          flush=True)
+    return t_full
+
+
+def bench_conv(spec: dict, iters: int = 30, windows: int = 3) -> float:
+    """Standalone best-case seconds for one conv spec (min over windows)."""
+    dtype = _DTYPES[spec["dtype"]]
+    operand_gb = _operand_gb(spec)
+    if operand_gb > _OPERAND_GB_CAP:
+        # Giant gradient convs (full-batch filter grads at b64/128) wedge the
+        # remote compiler; measure sub-batch sizes and extrapolate with a
+        # measured-linearity check instead.
+        return _bench_conv_subcontraction(spec, iters, windows)
     out_dtype = _DTYPES[spec["out_dtype"]]
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(spec["in"]).astype(np.float32)).astype(dtype)

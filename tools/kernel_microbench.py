@@ -142,13 +142,64 @@ def bench_attention(b, h, s, d, dtype=jnp.bfloat16) -> dict:
     return out
 
 
+def bench_train_step_variant(batch: int, *, use_pallas_gn: bool, attn_bwd: str) -> dict:
+    """Full VAE train step (flagship config) wall-clock under kernel variants.
+
+    attn_bwd: 'pallas' | 'xla' (via the PTI_PALLAS_ATTN_BWD switch, read at
+    trace time inside the attention custom-vjp)."""
+    os.environ["PTI_PALLAS_ATTN_BWD"] = "1" if attn_bwd == "pallas" else "0"
+    from __graft_entry__ import FLAGSHIP_CONFIG
+
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.train.state import create_train_state
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+
+    model = autoencoder_from_config(
+        FLAGSHIP_CONFIG, compute_dtype=jnp.bfloat16, use_pallas=use_pallas_gn
+    )
+    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+                      adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True)
+    step = make_train_step(model, None, lcfg, adv_active=False, donate=True)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(rng.uniform(0.1, 1.0, size=(batch, 256, 256, 1)).astype(np.float32))
+    mask = jnp.ones((batch,), jnp.float32)
+    params_g = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
+    state = create_train_state(params_g, lr=2.5e-5)
+    lpips = init_lpips_params()
+    holder = {"state": state, "key": jax.random.key(3)}
+
+    def chain(iters):
+        for _ in range(iters):
+            holder["key"], sub = jax.random.split(holder["key"])
+            holder["state"], _m = step(holder["state"], images, mask, {}, lpips, sub)
+        return holder["state"].params_g["params"]["quant_conv_mu"]["bias"]
+
+    import time as _t
+
+    _force(chain(3))
+    times = []
+    for _ in range(WINDOWS):
+        t0 = _t.perf_counter()
+        _force(chain(ITERS))
+        times.append(_t.perf_counter() - t0)
+    step_ms = min(times) / ITERS * 1e3
+    return {
+        "kernel": "vae_train_step", "batch": batch,
+        "groupnorm": "pallas" if use_pallas_gn else "xla",
+        "attn_bwd": attn_bwd,
+        "step_ms": round(step_ms, 3),
+        "imgs_per_sec": round(batch / (step_ms / 1e3), 2),
+    }
+
+
 def main(argv=None) -> None:
     global ITERS, WINDOWS
     parser = argparse.ArgumentParser(description=__doc__)
     parser.add_argument("--iters", type=int, default=ITERS)
     parser.add_argument("--windows", type=int, default=WINDOWS)
     parser.add_argument("--batch", type=int, default=8)
-    parser.add_argument("--only", choices=("groupnorm", "attention"), default=None)
+    parser.add_argument("--only", choices=("groupnorm", "attention", "trainstep"), default=None)
     args = parser.parse_args(argv)
     ITERS, WINDOWS = args.iters, args.windows
     b = args.batch
@@ -174,6 +225,17 @@ def main(argv=None) -> None:
                 print(json.dumps(bench_attention(b_, h, s, d)), flush=True)
             except Exception as exc:  # noqa: BLE001
                 print(json.dumps({"kernel": "flash_attention", "shape": [b_, h, s, d],
+                                  "error": f"{type(exc).__name__}: {exc}"[:300]}),
+                      flush=True)
+
+    if args.only == "trainstep":
+        for gn, attn in ((False, "xla"), (False, "pallas"), (True, "pallas")):
+            try:
+                print(json.dumps(bench_train_step_variant(
+                    b, use_pallas_gn=gn, attn_bwd=attn)), flush=True)
+            except Exception as exc:  # noqa: BLE001
+                print(json.dumps({"kernel": "vae_train_step", "groupnorm": gn,
+                                  "attn_bwd": attn,
                                   "error": f"{type(exc).__name__}: {exc}"[:300]}),
                       flush=True)
 
