@@ -8,6 +8,9 @@ import pytest
 
 from pti_ldm_vae_tpu.data.io import read_image, write_tif
 
+# fast tier excludes this module (train/inference/evaluate CLI end-to-end)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def workspace(tmp_path_factory):

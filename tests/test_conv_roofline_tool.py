@@ -14,10 +14,14 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from tools.conv_roofline import _DTYPES, parse_convs  # noqa: E402
+
+# fast tier excludes this module (lowers/benches real conv programs)
+pytestmark = pytest.mark.slow
 
 
 def _lowered_train_text():

@@ -21,6 +21,9 @@ from pti_ldm_vae_tpu.train.diffusion import (
     pivotal_tuning_inversion,
 )
 
+# fast tier excludes this module (diffusion core with full-arch module fixture (compile-heavy))
+pytestmark = pytest.mark.slow
+
 TINY_UNET = dict(
     in_channels=2, out_channels=2,
     channels=(8, 16), attention_levels=(False, True), num_head_channels=(0, 8),

@@ -11,6 +11,9 @@ from pti_ldm_vae_tpu.checkpoint.orbax_io import save_pytree
 from pti_ldm_vae_tpu.data.io import write_tif
 from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
 
+# fast tier excludes this module (full diffusion CLI runs (compile-heavy))
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def ldm_ws(tmp_path_factory):

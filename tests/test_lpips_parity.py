@@ -7,6 +7,7 @@ against an independent torch implementation carrying the same weights.
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 import torch
 import torch.nn as nn
 import torch.nn.functional as F
@@ -19,6 +20,9 @@ from pti_ldm_vae_tpu.models.lpips import (
     lpips_distance,
     lpips_features,
 )
+
+# fast tier excludes this module (SqueezeNet trunk parity vs torch (compile-heavy))
+pytestmark = pytest.mark.slow
 
 
 class TorchFire(nn.Module):

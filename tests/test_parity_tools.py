@@ -21,6 +21,9 @@ from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
 from test_torch_parity import CFG, TMirror, _load_mirror_from_converter
 from tools.check_reference_parity import check, main as check_main
 
+# fast tier excludes this module (dump/check/aggregate machinery end-to-end)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dump_dir(tmp_path_factory):

@@ -29,6 +29,9 @@ from pti_ldm_vae_tpu.models.unet import DiffusionUNet
 from pti_ldm_vae_tpu.ops.norm import group_norm, instance_norm
 from pti_ldm_vae_tpu.ops.resize import upsample_nearest_2x
 
+# fast tier excludes this module (3-D support end-to-end (trace-bound; minutes on 1 core))
+pytestmark = pytest.mark.slow
+
 CFG3 = dict(
     spatial_dims=3, in_channels=1, out_channels=1, latent_channels=2,
     channels=[4, 8], num_res_blocks=1, norm_num_groups=2, norm_eps=1e-6,

@@ -11,6 +11,9 @@ import pytest
 from pti_ldm_vae_tpu.data.io import write_tif
 from pti_ldm_vae_tpu.train.loop import VAETrainer, resolve_ar_settings
 
+# fast tier excludes this module (VAETrainer end-to-end epochs)
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def dataset(tmp_path_factory):

@@ -35,4 +35,12 @@ timeout 7200 python tools/conv_roofline.py --mode train --batch 128 --top 25 \
     --json docs/conv_roofline_v5e_train_b128.json > /tmp/roofline_b128.log 2>&1
 echo "rc=$?" >> /tmp/roofline_b128.log
 
+echo "== b128 trainer epoch smoke =="
+timeout 3600 python tools/smoke_trainer_b128.py > /tmp/trainer_b128.log 2>&1
+echo "rc=$?" >> /tmp/trainer_b128.log
+
+echo "== flagship LDM smoke =="
+timeout 5400 python tools/smoke_flagship_ldm.py > /tmp/ldm_smoke.log 2>&1
+echo "rc=$?" >> /tmp/ldm_smoke.log
+
 echo "session done"
