@@ -80,9 +80,13 @@ def _kernel(x_ref, scale_ref, bias_ref, gmap_ref, out_ref, mean_ref, inv_ref,
     mean_g = gsum / count
     var_g = gsumsq / count - mean_g * mean_g
     inv_g = jax.lax.rsqrt(var_g + eps)
-    # Residuals for the fused backward (no stats recompute there).
-    mean_ref[:] = mean_g
-    inv_ref[:] = inv_g
+    # Residuals for the fused backward (no stats recompute there). The stats
+    # refs hold the FULL [B, G] array (tiny; full-array blocks satisfy
+    # Mosaic's sublane/lane constraints where a (1, G) block would not);
+    # each grid step writes its batch row.
+    row = pl.ds(pl.program_id(0), 1)
+    mean_ref[row, :] = mean_g
+    inv_ref[row, :] = inv_g
 
     mean_c = jnp.dot(mean_g, gmap.T, preferred_element_type=jnp.float32)  # [1, C]
     inv_c = jnp.dot(inv_g, gmap.T, preferred_element_type=jnp.float32)
@@ -125,8 +129,8 @@ def _forward(x: jnp.ndarray, scale: jnp.ndarray, bias: jnp.ndarray,
         ],
         out_specs=[
             pl.BlockSpec((None, hw, c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((1, num_groups), lambda i: (i, 0)),
-            pl.BlockSpec((1, num_groups), lambda i: (i, 0)),
+            pl.BlockSpec((b, num_groups), lambda i: (0, 0)),
+            pl.BlockSpec((b, num_groups), lambda i: (0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, hw, c), x.dtype),
@@ -153,11 +157,16 @@ def _dn_terms(xb, gb, mean_c, inv_c, scale, bias):
 
 def _bwd_reduce_kernel(x_ref, g_ref, mean_ref, inv_ref, scale_ref, bias_ref,
                        r1_ref, r2_ref):
-    """Accumulate r1 = sum(dn), r2 = sum(dn*xhat) over the row-block axis."""
-    j = pl.program_id(1)
+    """Accumulate r1 = sum(dn), r2 = sum(dn*xhat) over the row-block axis.
+
+    Per-batch aux refs (mean/inv/r1/r2) hold the FULL [B, C] arrays (tiny;
+    full-array blocks satisfy Mosaic's tiling constraints where (1, C)
+    blocks would not); each grid step addresses its batch row."""
+    i, j = pl.program_id(0), pl.program_id(1)
+    row = pl.ds(i, 1)
     xb = x_ref[:].astype(jnp.float32)
     gb = g_ref[:].astype(jnp.float32)
-    xhat, dn = _dn_terms(xb, gb, mean_ref[:], inv_ref[:],
+    xhat, dn = _dn_terms(xb, gb, mean_ref[row, :], inv_ref[row, :],
                          scale_ref[:].astype(jnp.float32),
                          bias_ref[:].astype(jnp.float32))
     p1 = jnp.sum(dn, axis=0, keepdims=True)
@@ -165,26 +174,27 @@ def _bwd_reduce_kernel(x_ref, g_ref, mean_ref, inv_ref, scale_ref, bias_ref,
 
     @pl.when(j == 0)
     def _():
-        r1_ref[:] = p1
-        r2_ref[:] = p2
+        r1_ref[row, :] = p1
+        r2_ref[row, :] = p2
 
     @pl.when(j != 0)
     def _():
-        r1_ref[:] += p1
-        r2_ref[:] += p2
+        r1_ref[row, :] += p1
+        r2_ref[row, :] += p2
 
 
 def _bwd_dx_kernel(x_ref, g_ref, mean_ref, inv_ref, scale_ref, bias_ref,
                    a_ref, b_ref, dx_ref):
     """dx = inv * (dn*gamma - a_c - xhat*b_c) for one row block."""
+    row = pl.ds(pl.program_id(0), 1)
     xb = x_ref[:].astype(jnp.float32)
     gb = g_ref[:].astype(jnp.float32)
-    inv_c = inv_ref[:]
-    xhat, dn = _dn_terms(xb, gb, mean_ref[:], inv_c,
+    inv_c = inv_ref[row, :]
+    xhat, dn = _dn_terms(xb, gb, mean_ref[row, :], inv_c,
                          scale_ref[:].astype(jnp.float32),
                          bias_ref[:].astype(jnp.float32))
     dxhat = dn * scale_ref[:].astype(jnp.float32)
-    dx = inv_c * (dxhat - a_ref[:] - xhat * b_ref[:])
+    dx = inv_c * (dxhat - a_ref[row, :] - xhat * b_ref[row, :])
     dx_ref[:] = dx.astype(dx_ref.dtype)
 
 
@@ -206,8 +216,7 @@ def _bwd_pallas(x, scale, bias, mean_g, inv_g, g, num_groups: int):
     inv_c = jnp.dot(inv_g, gmap.T)
 
     row_block = lambda i, j: (i, j, 0)
-    per_batch_row = lambda i, j: (i, 0)
-    const_row = lambda i, j: (0, 0)
+    full_bc = lambda i, j: (0, 0)  # whole [B, C] aux array resident in VMEM
 
     r1, r2 = pl.pallas_call(
         _bwd_reduce_kernel,
@@ -215,14 +224,14 @@ def _bwd_pallas(x, scale, bias, mean_g, inv_g, g, num_groups: int):
         in_specs=[
             pl.BlockSpec((None, chunk, c), row_block),
             pl.BlockSpec((None, chunk, c), row_block),
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), const_row),
-            pl.BlockSpec((1, c), const_row),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((1, c), full_bc),
+            pl.BlockSpec((1, c), full_bc),
         ],
         out_specs=[
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((b, c), full_bc),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, c), jnp.float32),
@@ -242,12 +251,12 @@ def _bwd_pallas(x, scale, bias, mean_g, inv_g, g, num_groups: int):
         in_specs=[
             pl.BlockSpec((None, chunk, c), row_block),
             pl.BlockSpec((None, chunk, c), row_block),
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), const_row),
-            pl.BlockSpec((1, c), const_row),
-            pl.BlockSpec((1, c), per_batch_row),
-            pl.BlockSpec((1, c), per_batch_row),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((1, c), full_bc),
+            pl.BlockSpec((1, c), full_bc),
+            pl.BlockSpec((b, c), full_bc),
+            pl.BlockSpec((b, c), full_bc),
         ],
         out_specs=pl.BlockSpec((None, chunk, c), row_block),
         out_shape=jax.ShapeDtypeStruct((b, hw, c), x.dtype),
