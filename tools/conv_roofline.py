@@ -207,15 +207,9 @@ def _bench_conv_subcontraction(spec: dict, iters: int, windows: int) -> float:
     return t_full
 
 
-def bench_conv(spec: dict, iters: int = 30, windows: int = 3) -> float:
-    """Standalone best-case seconds for one conv spec (min over windows)."""
+def _chain_for_spec(spec: dict):
+    """Jitted chained-dispatch benchmark program for one conv spec."""
     dtype = _DTYPES[spec["dtype"]]
-    operand_gb = _operand_gb(spec)
-    if operand_gb > _OPERAND_GB_CAP:
-        # Giant gradient convs (full-batch filter grads at b64/128) wedge the
-        # remote compiler; measure sub-batch sizes and extrapolate with a
-        # measured-linearity check instead.
-        return _bench_conv_subcontraction(spec, iters, windows)
     out_dtype = _DTYPES[spec["out_dtype"]]
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal(spec["in"]).astype(np.float32)).astype(dtype)
@@ -247,7 +241,48 @@ def bench_conv(spec: dict, iters: int = 30, windows: int = 3) -> float:
         _, acc = jax.lax.fori_loop(0, n, body, (x_in, jnp.zeros((), jnp.float32)))
         return acc
 
-    _force(chain(x, 2))  # compile
+    return chain, x
+
+
+_PROBE_TIMEOUT_S = 420
+
+
+def _probe_compile(spec: dict) -> None:
+    """Compile the spec's bench chain in a SUBPROCESS with a hard timeout.
+
+    Some gradient-conv shapes wedge the remote compiler indefinitely (b64
+    run: zero progress in 50 min on the first shape); an in-process compile
+    cannot be cancelled. The child populates the persistent compilation
+    cache, so on success the parent's own compile is a cache hit. Raises
+    SkipConv on timeout/failure (the shape joins the extrapolated tail)."""
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--probe-spec", json.dumps(spec)],
+            timeout=_PROBE_TIMEOUT_S, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired as exc:
+        raise SkipConv(f"compile probe timed out after {_PROBE_TIMEOUT_S}s") from exc
+    if proc.returncode != 0:
+        raise SkipConv(f"compile probe failed: {proc.stderr.strip()[-200:]}")
+
+
+def bench_conv(spec: dict, iters: int = 30, windows: int = 3,
+               probe: bool = True) -> float:
+    """Standalone best-case seconds for one conv spec (min over windows)."""
+    dtype = _DTYPES[spec["dtype"]]
+    operand_gb = _operand_gb(spec)
+    if operand_gb > _OPERAND_GB_CAP:
+        # Giant gradient convs (full-batch filter grads at b64/128) wedge the
+        # remote compiler; measure sub-batch sizes and extrapolate with a
+        # measured-linearity check instead.
+        return _bench_conv_subcontraction(spec, iters, windows)
+    if probe:
+        _probe_compile(spec)
+    chain, x = _chain_for_spec(spec)
+
+    _force(chain(x, 2))  # compile (cache hit when the probe ran)
     # The tunnel round-trip is ~25 ms with several ms of variance; for fast
     # kernels it swamps the window unless the chain is long enough. Estimate
     # the per-iteration cost NET of overhead first (scaling the raw window
@@ -341,6 +376,7 @@ def build_train(batch: int):
 
 def main() -> None:
     ap = argparse.ArgumentParser()
+    ap.add_argument("--probe-spec", default=None, help=argparse.SUPPRESS)
     ap.add_argument("--mode", choices=("inference", "train"), default="inference")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
@@ -352,6 +388,13 @@ def main() -> None:
                     "has ~100 unique conv shapes.")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+
+    if args.probe_spec:
+        # child process of _probe_compile: compile (and once execute) the
+        # spec's chain, populating the shared persistent cache, then exit.
+        chain, x = _chain_for_spec(json.loads(args.probe_spec))
+        _force(chain(x, 2))
+        return
 
     lowered, run_chain = (
         build_inference(args.batch) if args.mode == "inference"
