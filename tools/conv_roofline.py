@@ -157,34 +157,60 @@ def _operand_gb(spec: dict) -> float:
     ) / 1e9
 
 
-def _bench_conv_subcontraction(spec: dict, iters: int, windows: int) -> float:
-    """Sub-batch measurement with measured scaling for oversized specs.
+def _bench_conv_scaled(spec: dict, iters: int, windows: int) -> float:
+    """Sub-size measurement with measured scaling, for specs that cannot be
+    benched at full size (operands over the memory cap, or remote compiles
+    that exceed the probe timeout — observed: standalone b64/b128 conv
+    chains churn the remote compiler for 15+ min).
 
-    The only specs that exceed the operand cap are full-batch filter-grad
-    convs (dW = X *contract-over-batch* dY): the train batch sits on the
-    contraction axis (lhs feature / rhs input-feature). Shrinking that axis
-    leaves the output shape, strides, and padding untouched and scales the
-    work linearly, so: bench two sub-sizes that compile fast, check the
-    scaling is linear (secant), and extrapolate to the full size. VERDICT
-    round-2: these shapes wedge the remote compiler for ~15 min at b128 —
-    measuring them directly is not an option on this tunnel.
+    Axis choice:
+    * filter-grad signature (kernel operand is activation-sized: the train
+      batch sits on the CONTRACTION axis, lhs feature == rhs input-feature)
+      -> shrink the contraction; output shape unchanged, work linear.
+    * otherwise -> shrink the LHS BATCH axis (independent rows; per-sample
+      work constant), shrinking the output batch dim with it.
+
+    Two sub-sizes are measured (each with its own compile probe), scaling is
+    linearity-checked, and a secant extrapolates to the full size (absorbing
+    fixed per-call overhead). Nonlinear pairs fall back to proportional
+    scaling from the larger point and say so.
     """
-    lhs_feat = spec["dims"][0][1]
+    lhs_batch, lhs_feat = spec["dims"][0][0], spec["dims"][0][1]
     rhs_in = spec["dims"][1][1]
-    n = spec["in"][lhs_feat]
-    if spec["kernel"][rhs_in] != n or spec["groups"] != 1 or spec["batch_groups"] != 1:
-        raise SkipConv("oversized non-filter-grad conv (no sub-batch axis)")
+    out_batch = spec["dims"][2][0]
 
-    def shrunk(k: int) -> dict:
-        s = {**spec, "in": list(spec["in"]), "kernel": list(spec["kernel"])}
-        s["in"][lhs_feat] = k
-        s["kernel"][rhs_in] = k
-        return s
+    filter_grad = (
+        spec["groups"] == 1 and spec["batch_groups"] == 1
+        and spec["kernel"][rhs_in] == spec["in"][lhs_feat]
+        and spec["in"][lhs_feat] >= 16
+    )
+    if filter_grad:
+        axis_desc = "contraction"
+        n = spec["in"][lhs_feat]
 
-    # largest power-of-two sub-size under the cap
-    k2 = n
-    while k2 > 1 and (_operand_gb(shrunk(k2)) > _OPERAND_GB_CAP or k2 == n):
+        def shrunk(k: int) -> dict:
+            s = {**spec, "in": list(spec["in"]), "kernel": list(spec["kernel"])}
+            s["in"][lhs_feat] = k
+            s["kernel"][rhs_in] = k
+            return s
+    elif spec["in"][lhs_batch] >= 16 and spec["batch_groups"] == 1:
+        axis_desc = "batch"
+        n = spec["in"][lhs_batch]
+
+        def shrunk(k: int) -> dict:
+            s = {**spec, "in": list(spec["in"]), "out": list(spec["out"])}
+            s["in"][lhs_batch] = k
+            s["out"][out_batch] = k
+            return s
+    else:
+        raise SkipConv("no shrinkable axis for scaled measurement")
+
+    # largest power-of-two sub-size under the cap, at most n//2, floored at
+    # the b8-scale sizes known to compile quickly
+    k2 = n // 2
+    while k2 > 8 and _operand_gb(shrunk(k2)) > _OPERAND_GB_CAP:
         k2 //= 2
+    k2 = min(k2, 16)
     k1 = max(k2 // 2, 1)
     if k2 < 2 or k1 == k2:
         raise SkipConv("cannot find a compilable sub-size")
@@ -192,17 +218,15 @@ def _bench_conv_subcontraction(spec: dict, iters: int, windows: int) -> float:
     t2 = bench_conv(shrunk(k2), iters, windows)
     ratio = t2 / max(t1, 1e-12)
     expected = k2 / k1
-    if 0.7 * expected <= ratio <= 1.3 * expected:
-        # linear regime: secant extrapolation absorbs fixed per-call overhead
+    linear = 0.7 * expected <= ratio <= 1.3 * expected
+    if linear:
         slope = (t2 - t1) / (k2 - k1)
         t_full = t2 + slope * (n - k2)
     else:
-        # nonlinear (sub-size still in an efficiency ramp): conservative
-        # proportional scaling from the larger measurement
         t_full = t2 * n / k2
-    print(f"    sub-batch {spec['in']}x{spec['kernel']}: contraction {n} -> "
+    print(f"    scaled {spec['in']}x{spec['kernel']}: {axis_desc} {n} -> "
           f"[{k1},{k2}] measured ({t1*1e3:.3f},{t2*1e3:.3f}) ms, ratio {ratio:.2f} "
-          f"(linear={0.7*expected <= ratio <= 1.3*expected}) -> {t_full*1e3:.3f} ms",
+          f"(linear={linear}) -> {t_full*1e3:.3f} ms",
           flush=True)
     return t_full
 
@@ -244,7 +268,7 @@ def _chain_for_spec(spec: dict):
     return chain, x
 
 
-_PROBE_TIMEOUT_S = 420
+_PROBE_TIMEOUT_S = 360
 
 
 def _probe_compile(spec: dict) -> None:
@@ -275,11 +299,17 @@ def bench_conv(spec: dict, iters: int = 30, windows: int = 3,
     operand_gb = _operand_gb(spec)
     if operand_gb > _OPERAND_GB_CAP:
         # Giant gradient convs (full-batch filter grads at b64/128) wedge the
-        # remote compiler; measure sub-batch sizes and extrapolate with a
+        # remote compiler; measure sub-sizes and extrapolate with a
         # measured-linearity check instead.
-        return _bench_conv_subcontraction(spec, iters, windows)
+        return _bench_conv_scaled(spec, iters, windows)
     if probe:
-        _probe_compile(spec)
+        try:
+            _probe_compile(spec)
+        except SkipConv as exc:
+            # full-size compile too slow for the tunnel: measure sub-sizes
+            print(f"    probe: {exc}; falling back to scaled measurement",
+                  flush=True)
+            return _bench_conv_scaled(spec, iters, windows)
     chain, x = _chain_for_spec(spec)
 
     _force(chain(x, 2))  # compile (cache hit when the probe ran)
