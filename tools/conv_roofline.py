@@ -179,9 +179,13 @@ def _bench_conv_scaled(spec: dict, iters: int, windows: int) -> float:
     rhs_in = spec["dims"][1][1]
     out_batch = spec["dims"][2][0]
 
+    # filter-grad signature: the "kernel" operand is an activation-sized
+    # gradient (large spatial dims), not a real weight — channels alone
+    # cannot discriminate (lhs feature == rhs input-feature for EVERY conv).
+    kernel_spatial = [spec["kernel"][i] for i in spec["dims"][1][2:]]
     filter_grad = (
         spec["groups"] == 1 and spec["batch_groups"] == 1
-        and spec["kernel"][rhs_in] == spec["in"][lhs_feat]
+        and max(kernel_spatial) > 7
         and spec["in"][lhs_feat] >= 16
     )
     if filter_grad:
@@ -219,14 +223,16 @@ def _bench_conv_scaled(spec: dict, iters: int, windows: int) -> float:
     ratio = t2 / max(t1, 1e-12)
     expected = k2 / k1
     linear = 0.7 * expected <= ratio <= 1.3 * expected
-    if linear:
-        slope = (t2 - t1) / (k2 - k1)
-        t_full = t2 + slope * (n - k2)
-    else:
-        t_full = t2 * n / k2
+    secant = t2 + (t2 - t1) / (k2 - k1) * (n - k2)
+    proportional = t2 * n / k2
+    # The floor must not OVERSTATE a conv's standalone time (a too-high
+    # floor inflates the utilization claim): take the smaller extrapolation.
+    # Sub-linear pairs (latency-bound at the sub-sizes) keep the secant.
+    t_full = max(min(secant, proportional), t2)
     print(f"    scaled {spec['in']}x{spec['kernel']}: {axis_desc} {n} -> "
           f"[{k1},{k2}] measured ({t1*1e3:.3f},{t2*1e3:.3f}) ms, ratio {ratio:.2f} "
-          f"(linear={linear}) -> {t_full*1e3:.3f} ms",
+          f"(linear={linear}, secant {secant*1e3:.3f} / prop {proportional*1e3:.3f}) "
+          f"-> {t_full*1e3:.3f} ms",
           flush=True)
     return t_full
 
