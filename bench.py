@@ -110,15 +110,23 @@ def _stats(times: list[float], iters: int, batch: int, flops_per_step: float,
     if peak_bw:
         out["hbm_util"] = round(out["achieved_hbm_gbps"] / peak_bw, 4)
     if peak_tf and peak_bw and flops_per_step:
-        # Roofline-implied minimum step time vs actual. bytes-accessed counts
-        # fused intermediates once per op, so this is a lower bound on true
-        # utilization (real HBM traffic <= bytes accessed).
+        # Roofline-implied minimum step time vs actual. XLA's bytes-accessed
+        # counts every operand of every op, including intermediates that
+        # fusion keeps on-chip, so it is an UPPER bound on real HBM traffic —
+        # hbm_util and roofline_util derived from it are therefore upper
+        # bounds. When hbm_util > 1 the over-count exceeds what the HBM could
+        # physically move in the measured time: that *proves* heavy fusion and
+        # makes the memory/compute classification unreliable, so we say so
+        # instead of reporting an impossible number as a bound.
         t_min = max(flops_per_step / (peak_tf * 1e12), bytes_per_step / (peak_bw * 1e9))
         out["roofline_util"] = round(t_min / step_s, 4)
-        out["bound"] = (
-            "memory" if bytes_per_step / (peak_bw * 1e9) > flops_per_step / (peak_tf * 1e12)
-            else "compute"
-        )
+        if out["hbm_util"] > 1.0:
+            out["bound"] = "indeterminate (bytes-accessed exceeds physical HBM; XLA fused intermediates on-chip)"
+        else:
+            out["bound"] = (
+                "memory" if bytes_per_step / (peak_bw * 1e9) > flops_per_step / (peak_tf * 1e12)
+                else "compute"
+            )
     return out
 
 
@@ -240,8 +248,16 @@ def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
         )
     )
     cost = _cost(sample, params, jax.random.key(1))
-    flops = float(cost.get("flops", 0.0))
-    bytes_acc = float(cost.get("bytes accessed", 0.0))
+    # XLA's cost analysis counts a lax.scan/while body ONCE, not x trip
+    # count (verified empirically: scan(length=10) of a matmul reports the
+    # same flops as one matmul). The sampler is one scan of num_steps UNet
+    # calls, so the whole-program cost IS (approximately) the per-call cost,
+    # and the total work is cost x num_steps. Round-2's "0.19% MFU" DDIM row
+    # divided by num_steps a second time — a 50x under-count.
+    per_call_flops = float(cost.get("flops", 0.0))
+    per_call_bytes = float(cost.get("bytes accessed", 0.0))
+    flops = per_call_flops * num_steps
+    bytes_acc = per_call_bytes * num_steps
 
     def run_chain(iters):
         # Chain iterations through a data dependency (fold the previous
@@ -261,8 +277,6 @@ def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
     times = _timed_windows(run_chain, iters=iters, windows=WINDOWS)
     best = min(times)
     # per-UNet-call roofline: the scan body runs num_steps times per sample
-    per_call_flops = flops / num_steps
-    per_call_bytes = bytes_acc / num_steps
     call_s = best / (iters * num_steps)
     out = {
         "num_inference_steps": num_steps,
@@ -281,10 +295,13 @@ def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
     if peak_tf and peak_bw and flops:
         t_min = max(per_call_flops / (peak_tf * 1e12), per_call_bytes / (peak_bw * 1e9))
         out["roofline_util"] = round(t_min / call_s, 4)
-        out["bound"] = (
-            "memory" if per_call_bytes / (peak_bw * 1e9) > per_call_flops / (peak_tf * 1e12)
-            else "compute"
-        )
+        if out.get("hbm_util", 0.0) > 1.0:
+            out["bound"] = "indeterminate (bytes-accessed exceeds physical HBM; XLA fused intermediates on-chip)"
+        else:
+            out["bound"] = (
+                "memory" if per_call_bytes / (peak_bw * 1e9) > per_call_flops / (peak_tf * 1e12)
+                else "compute"
+            )
     return out
 
 
