@@ -16,6 +16,7 @@ conventions and a tiny JSON sidecar for the scalar bookkeeping.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import queue
@@ -57,11 +58,18 @@ def save_pytree(path: str, tree: Any) -> None:
     replicated trees from process 0 (all leaves addressable).
     """
     path = os.path.abspath(path)
+    tree = fetch_to_host(tree)
+    # Write to a sibling tmp dir first, swap in only once complete: a crash
+    # mid-write leaves the previous checkpoint intact instead of a
+    # half-written directory.
+    tmp = path + ".tmp"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    with ocp.PyTreeCheckpointer() as ckptr:
+        ckptr.save(tmp, tree)
     if os.path.exists(path):
         shutil.rmtree(path)
-    tree = fetch_to_host(tree)
-    with ocp.PyTreeCheckpointer() as ckptr:
-        ckptr.save(path, tree)
+    os.rename(tmp, path)
 
 
 class _AsyncWriter:
@@ -98,7 +106,18 @@ class _AsyncWriter:
                 target=self._worker, name="ckpt-writer", daemon=True
             )
             self._thread.start()
+            # Drain pending writes even on abnormal exit (an exception
+            # propagating out of the train loop never reaches wait());
+            # without this the daemon thread dies mid-write at teardown.
+            atexit.register(self._drain_at_exit)
         self._queue.put(fn)
+
+    def _drain_at_exit(self) -> None:
+        if self._thread is None or not self._queue.unfinished_tasks:
+            return
+        self._queue.join()
+        if self._exc is not None:
+            print(f"[ERROR] background checkpoint write failed: {self._exc!r}")
 
     def wait(self) -> None:
         """Block until every submitted write has finished."""
@@ -174,11 +193,14 @@ class CheckpointManager:
         prev_best, self.best_epoch_saved = self.best_epoch_saved, epoch
 
         def write_best() -> None:
-            if prev_best is not None:
-                self._delete_best_files(prev_best)
+            # Write the new best BEFORE deleting the previous one: if the
+            # write fails, the old best survives (restore picks the highest
+            # epoch, so the transient overlap is harmless).
             self._write_best_files(
                 epoch, host, val_loss=float(val_loss), total_step=int(total_step)
             )
+            if prev_best is not None:
+                self._delete_best_files(prev_best)
 
         self._writer.submit(write_best)
         return float(val_loss)
@@ -243,8 +265,6 @@ class CheckpointManager:
         :meth:`save_epoch` instead."""
         if val_loss >= best_val_loss:
             return best_val_loss
-        if self.best_epoch_saved is not None:
-            self._delete_best_files(self.best_epoch_saved)
         host = {
             "params_g": fetch_to_host(state.params_g),
             "params_d": fetch_to_host(state.params_d),
@@ -252,6 +272,8 @@ class CheckpointManager:
             "opt_state_d": fetch_to_host(state.opt_state_d),
         }
         self._write_best_files(epoch, host, val_loss=float(val_loss), total_step=int(total_step))
+        if self.best_epoch_saved is not None:
+            self._delete_best_files(self.best_epoch_saved)
         self.best_epoch_saved = epoch
         return float(val_loss)
 

@@ -132,6 +132,21 @@ def unet_expected_torch_keys(config: dict) -> list[str]:
     return keys
 
 
+def canonicalize_torch_key(key: str) -> str:
+    """Map a known alternate MONAI spelling back to its canonical key.
+
+    Layout-drift checks must compare canonicalized key sets — the converter
+    itself accepts every ``_ALTERNATES`` spelling, so a MONAI install using
+    one (e.g. ``out_proj`` for attention output) is NOT drift."""
+    for canon, alts in _ALTERNATES.items():
+        if canon in key:
+            return key  # already canonical (guards substring alternates)
+        for alt in alts:
+            if alt in key:
+                return key.replace(alt, canon)
+    return key
+
+
 def _set(tree: dict, path: str, leaf: str, value: np.ndarray) -> None:
     node = tree
     parts = [p for p in path.split("/") if p]

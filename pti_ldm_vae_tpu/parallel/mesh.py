@@ -38,6 +38,8 @@ __all__ = [
     "place_batch",
     "shard_batch",
     "first_local_rows",
+    "first_row_refs",
+    "first_row_read",
     "barrier_sync",
     "world_size",
     "process_rank",
@@ -160,7 +162,17 @@ def first_local_rows(x) -> np.ndarray:
     first = shards[0]
     if x.ndim < 2:
         return np.asarray(first.data)
-    batch_key = first.index[0]
+    tiles = _first_shard_tiles(shards)
+    stitched = np.concatenate([np.asarray(s.data) for s in tiles], axis=1)
+    if stitched.shape[1] != x.shape[1]:  # incomplete height coverage
+        return np.asarray(first.data)
+    return stitched
+
+
+def _first_shard_tiles(shards):
+    """The addressable shards sharing the first shard's batch range, sorted
+    by height-tile start and deduplicated across replicas."""
+    batch_key = shards[0].index[0]
     tiles = sorted(
         (s for s in shards if s.index[0] == batch_key),
         key=lambda s: (s.index[1].start or 0) if isinstance(s.index[1], slice) else 0,
@@ -173,9 +185,36 @@ def first_local_rows(x) -> np.ndarray:
             continue
         seen.add(h_key)
         unique.append(s)
-    stitched = np.concatenate([np.asarray(s.data) for s in unique], axis=1)
-    if stitched.shape[1] != x.shape[1]:  # incomplete height coverage
-        return np.asarray(first.data)
+    return unique
+
+
+def first_row_refs(x):
+    """Non-blocking handle on this process's FIRST local sample of ``x``.
+
+    Phase 1 of the deferred dump path: dispatches tiny device-side slices
+    (row 0 only) and holds just those buffers — no host copy, no pin on the
+    full batch — so a train/eval dispatch loop can bank dump rows without
+    serializing on a device→host transfer (``np.asarray`` blocks until the
+    producing computation finishes). ``first_row_read`` is phase 2.
+    """
+    if jax.process_count() == 1:
+        return ("single", jnp.asarray(x)[:1], None, None)
+    shards = x.addressable_shards
+    if x.ndim < 2:
+        return ("flat", shards[0].data, None, None)
+    tiles = _first_shard_tiles(shards)
+    return ("tiles", [s.data[:1] for s in tiles], shards[0].data[:1], x.shape[1])
+
+
+def first_row_read(ref) -> np.ndarray:
+    """Host copy of a ``first_row_refs`` handle: ``[1, ...]`` numpy array,
+    spatial height tiles stitched exactly like ``first_local_rows``."""
+    kind, data, fallback, height = ref
+    if kind in ("single", "flat"):
+        return np.asarray(data)
+    stitched = np.concatenate([np.asarray(d) for d in data], axis=1)
+    if stitched.shape[1] != height:  # incomplete height coverage
+        return np.asarray(fallback)
     return stitched
 
 

@@ -34,7 +34,7 @@ from ..losses.composite import compute_total_loss
 from ..models.autoencoder_kl import autoencoder_from_config
 from ..models.discriminator import PatchDiscriminator
 from ..models.lpips import load_lpips_params
-from ..parallel.mesh import first_local_rows, make_mesh, place_batch
+from ..parallel.mesh import first_row_read, first_row_refs, make_mesh, place_batch
 from ..utils.determinism import set_determinism
 from ..utils.logging import MetricLogger, init_wandb_config
 from ..utils.visualization import normalize_batch_for_display
@@ -353,10 +353,12 @@ class VAETrainer:
             if self.rank == 0 and (step % self.log_every == 0):
                 buffered.append((self.total_step, metrics))
             if step == 0 and self.rank == 0:
-                batch0 = (metrics, images)
+                # Hold only a device-side row-0 slice (not the full batch)
+                # until after the loop; the host read happens there.
+                batch0 = (metrics, first_row_refs(images))
         if batch0 is not None:
-            metrics0, img0 = batch0
-            img0 = first_local_rows(img0)[:1]
+            metrics0, img0_ref = batch0
+            img0 = first_row_read(img0_ref)
             # KL-explosion debug stats (reference ``train_vae.py:432-442``).
             print(
                 f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics0['debug/z_mu_mean']):.4f} | "
@@ -420,16 +422,14 @@ class VAETrainer:
             n_batches += 1
 
             if do_save_images:
-                # Slice the dump rows on device now (small buffers), write
-                # after the loop — TIF IO never blocks the next eval dispatch.
-                dumps.append((
-                    step,
-                    first_local_rows(images)[0, :, :, 0],
-                    first_local_rows(recon)[0, :, :, 0],
-                ))
+                # Bank non-blocking device-side row-0 handles; the host
+                # copies and TIF IO happen after the loop so neither ever
+                # blocks the next eval dispatch.
+                dumps.append((step, first_row_refs(images), first_row_refs(recon)))
 
-        for step, img_dev, rec_dev in dumps:
-            img, rec = np.asarray(img_dev), np.asarray(rec_dev)
+        for step, img_ref, rec_ref in dumps:
+            img = first_row_read(img_ref)[0, :, :, 0]
+            rec = first_row_read(rec_ref)[0, :, :, 0]
             diff = np.abs(img - rec)
             # rot90 k=3 display convention (reference ``train_vae.py:616-618``)
             epoch_dir = self.run_dir / "validation_samples" / f"epoch_{epoch}"

@@ -74,3 +74,24 @@ def test_first_local_rows_stitches_spatial_tiles(monkeypatch):
     got = mesh_mod.first_local_rows(x_sharded)
     # the first shard's batch range is rows 0..1; full height must come back
     np.testing.assert_array_equal(got, np.asarray(x)[:2])
+
+
+def test_first_row_refs_read_matches_first_local_rows(monkeypatch):
+    """The deferred two-phase dump path (non-blocking refs + later host
+    read) must return row 0 of what first_local_rows returns, in both the
+    single-process and the simulated multi-host spatial-sharding branch."""
+    from pti_ldm_vae_tpu.parallel import mesh as mesh_mod
+
+    mesh = make_mesh(jax.devices(), data=2, model=4)
+    x = jnp.asarray(
+        np.random.default_rng(7).normal(size=(4, 32, 16, 1)).astype(np.float32)
+    )
+    x_sharded = jax.device_put(x, spatial_sharding(mesh))
+
+    got_single = mesh_mod.first_row_read(mesh_mod.first_row_refs(x_sharded))
+    np.testing.assert_array_equal(got_single, np.asarray(x)[:1])
+
+    monkeypatch.setattr(mesh_mod.jax, "process_count", lambda: 2)
+    refs = mesh_mod.first_row_refs(x_sharded)
+    got_multi = mesh_mod.first_row_read(refs)
+    np.testing.assert_array_equal(got_multi, np.asarray(x)[:1])

@@ -306,3 +306,24 @@ def test_trainer_resume_from_reference_checkpoint(dataset, tmp_path):
     assert trainer.total_step == 77
     result = trainer.train()  # epoch 3 only
     assert result["total_step"] > 77
+
+
+def test_validation_image_dumps(e2e_run):
+    """The deferred dump path (non-blocking device row refs banked during
+    the eval loop, TIF writes after it) produces one [orig|recon|diff] TIF
+    trio per val batch on dump epochs (reference ``train_vae.py:598-621``)."""
+    from pti_ldm_vae_tpu.data.io import read_image
+
+    run_dir, trainer, _ = e2e_run
+    trainer.logger.log = lambda *a, **k: None  # metrics file closed by train()
+    trainer.validate(epoch=10)  # >= start_epoch_to_save and divisible by 5
+
+    epoch_dir = run_dir / "validation_samples" / "epoch_10"
+    n_batches = len(trainer.val_loader)
+    for sub in ("originale", "reconstruction", "diff"):
+        files = sorted(os.listdir(epoch_dir / sub))
+        assert len(files) == n_batches, (sub, files)
+    img = read_image(str(epoch_dir / "originale" / "step000.tif"))
+    rec = read_image(str(epoch_dir / "reconstruction" / "step000.tif"))
+    assert img.shape == rec.shape == (32, 32)
+    assert np.isfinite(img).all() and np.isfinite(rec).all()

@@ -124,7 +124,10 @@ def dump_unet(ldm_config_file: str, checkpoint: str | None, out_dir: str) -> Non
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
     from pti_ldm_vae.models.unet import DiffusionUNet  # type: ignore
 
-    from pti_ldm_vae_tpu.checkpoint.unet_convert import unet_expected_torch_keys
+    from pti_ldm_vae_tpu.checkpoint.unet_convert import (
+        canonicalize_torch_key,
+        unet_expected_torch_keys,
+    )
 
     with open(ldm_config_file, encoding="utf-8") as fh:
         cfg = json.load(fh)
@@ -138,7 +141,9 @@ def dump_unet(ldm_config_file: str, checkpoint: str | None, out_dir: str) -> Non
 
     sd = model.state_dict()
     expected = set(unet_expected_torch_keys(diffusion_def))
-    actual = set(sd.keys())
+    # Canonicalize accepted spelling variants first — an install using an
+    # _ALTERNATES spelling converts fine and must not fail the drift check.
+    actual = {canonicalize_torch_key(k) for k in sd.keys()}
     if expected != actual:
         missing = sorted(expected - actual)[:20]
         extra = sorted(actual - expected)[:20]
