@@ -85,3 +85,25 @@ def test_unet_converter_rejects_layout_drift():
     sd2["extra.weight"] = np.zeros((1,))
     with pytest.raises(KeyError, match="unconsumed"):
         unet_from_torch_state_dict(sd2, CFG)
+
+
+def test_canonicalize_torch_key():
+    """Drift checks must treat accepted _ALTERNATES spellings as canonical —
+    and must not mangle keys that already ARE canonical (substring overlap:
+    '.upsampler.conv' is a substring of canonical '.upsampler.conv.conv')."""
+    from pti_ldm_vae_tpu.checkpoint.unet_convert import canonicalize_torch_key
+
+    cases = {
+        "down_blocks.0.attentions.0.transformer_blocks.0.attn1.out_proj.weight":
+            "down_blocks.0.attentions.0.transformer_blocks.0.attn1.to_out.0.weight",
+        "down_blocks.0.downsamplers.0.op.conv.weight":
+            "down_blocks.0.downsampler.op.conv.weight",
+        "up_blocks.1.upsamplers.0.conv.conv.bias":
+            "up_blocks.1.upsampler.conv.conv.bias",
+        # already-canonical keys survive unchanged
+        "up_blocks.1.upsampler.conv.conv.bias":
+            "up_blocks.1.upsampler.conv.conv.bias",
+        "conv_in.conv.weight": "conv_in.conv.weight",
+    }
+    for raw, want in cases.items():
+        assert canonicalize_torch_key(raw) == want, raw
