@@ -95,3 +95,22 @@ def test_parse_covers_all_conv_families_and_reconstructs():
     n, h, w, _ = c["out"]
     expected = 2.0 * n * h * w * c["kernel"][3] * 9 * c["kernel"][2] / 1e9
     np.testing.assert_allclose(c["gflops"], expected, rtol=1e-6)
+
+
+def test_scan_body_convs_parse_once():
+    """--mode ddim's body multiplier rests on this: a conv inside a
+    lax.scan appears ONCE in the lowered text regardless of trip count, so
+    main() must scale its count by the trip count (num_inference_steps)."""
+
+    def body(x, _):
+        k = jnp.ones((3, 3, 4, 4), jnp.float32)
+        y = jax.lax.conv_general_dilated(
+            x, k, (1, 1), [(1, 1), (1, 1)],
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return y, None
+
+    fn = jax.jit(lambda x: jax.lax.scan(body, x, None, length=7)[0])
+    text = fn.lower(jnp.zeros((2, 8, 8, 4))).as_text()
+    convs = parse_convs(text)
+    assert len(convs) == 1, [c["in"] for c in convs]
+    assert convs[0]["in"] == [2, 8, 8, 4]

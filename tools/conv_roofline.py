@@ -374,6 +374,50 @@ def build_inference(batch: int):
     return lowered, run_chain
 
 
+def build_ddim(batch: int):
+    """Flagship DDIM sampler: one full sample = ``num_inference_steps``
+    scanned UNet calls. The lowered program contains the scan body ONCE
+    (XLA regions, same reason cost_analysis counts it once), so this
+    builder returns ``num_steps`` as the body multiplier and ``main``
+    scales every conv's count by it — the floor then prices a full sample,
+    which is what ``run_chain`` measures. Every convolution in this
+    program lives inside the scan body (the conditioning projector is a
+    matmul), so the uniform multiplier is exact."""
+    import bench as bench_mod  # repo-root bench.py: the one flagship-LDM definition
+    from pti_ldm_vae_tpu.train.diffusion import ddim_sample
+
+    unet, projector, schedule, lhw, lch, num_steps = bench_mod._flagship_ldm()
+    latent_shape = (batch, lhw, lhw, lch)
+    rng = np.random.default_rng(4)
+    cond_tokens = jnp.asarray(
+        rng.standard_normal((batch, lhw * lhw, lch)).astype(np.float32)
+    )
+    proj_params = projector.init(jax.random.key(5), cond_tokens)
+    context = projector.apply(proj_params, cond_tokens)
+    params = jax.jit(unet.init)(
+        jax.random.key(0), jnp.zeros(latent_shape), jnp.zeros((batch,), jnp.int32), context
+    )
+    sample = jax.jit(
+        lambda p, key: ddim_sample(
+            unet.apply, p, schedule, latent_shape, key,
+            num_inference_steps=num_steps, context=context,
+        )
+    )
+    lowered = sample.lower(params, jax.random.key(1))
+
+    def run_chain(iters):
+        out = None
+        key = jax.random.key(2)
+        for _ in range(iters):
+            key, sub = jax.random.split(key)
+            if out is not None:  # data-chain via the previous sample
+                sub = jax.random.fold_in(sub, (out.ravel()[0] * 0).astype(jnp.int32))
+            out = sample(params, sub)
+        return out if out is not None else jnp.zeros(())
+
+    return lowered, run_chain, num_steps
+
+
 def build_train(batch: int):
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
@@ -413,7 +457,7 @@ def build_train(batch: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe-spec", default=None, help=argparse.SUPPRESS)
-    ap.add_argument("--mode", choices=("inference", "train"), default="inference")
+    ap.add_argument("--mode", choices=("inference", "train", "ddim"), default="inference")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--top", type=int, default=None,
@@ -432,10 +476,13 @@ def main() -> None:
         _force(chain(x, 2))
         return
 
-    lowered, run_chain = (
-        build_inference(args.batch) if args.mode == "inference"
-        else build_train(args.batch)
-    )
+    body_mult = 1
+    if args.mode == "inference":
+        lowered, run_chain = build_inference(args.batch)
+    elif args.mode == "train":
+        lowered, run_chain = build_train(args.batch)
+    else:
+        lowered, run_chain, body_mult = build_ddim(args.batch)
     convs = parse_convs(lowered.as_text())
     if not convs:
         raise SystemExit("no convolutions parsed from the lowered program")
@@ -447,10 +494,10 @@ def main() -> None:
                c["rhs_dilate"], tuple(map(tuple, c["dims"])), c["groups"],
                c["batch_groups"], c["dtype"], c["out_dtype"])
         entry = uniq.setdefault(key, {**c, "count": 0})
-        entry["count"] += 1
+        entry["count"] += body_mult  # scan-body convs execute body_mult x/step
 
     total_conv_gflops = sum(c["gflops"] * c["count"] for c in uniq.values())
-    print(f"# mode={args.mode} b{args.batch}: {len(convs)} convs "
+    print(f"# mode={args.mode} b{args.batch}: {len(convs) * body_mult} convs "
           f"({len(uniq)} unique), {total_conv_gflops:.1f} GFLOP conv work/step",
           flush=True)
 
@@ -503,7 +550,7 @@ def main() -> None:
         "mode": args.mode,
         "batch": args.batch,
         "hardware": jax.devices()[0].device_kind,
-        "n_convs": len(convs),
+        "n_convs": len(convs) * body_mult,
         "conv_gflops_per_step": round(total_conv_gflops, 2),
         "unbenched_gflops": round(unbenched_gflops, 2),
         "extrapolated_gflops": round(extrapolated_gflops, 2),
