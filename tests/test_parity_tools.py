@@ -155,3 +155,17 @@ def test_full_parity_jax_side(dump_dir, tmp_path, monkeypatch):
     assert "disc_logits" in report["configs"]["vae_tiny"]["divergences"]
     assert report["unet"]["status"] == "ok"
     assert report["lpips_evaluate"]["perceptual_pretrained"] is True
+
+
+def test_full_parity_jax_side_rejects_empty_dumps(tmp_path):
+    """A mistyped/empty --dumps dir must hard-fail, not report 'overall ok'
+    with zero checks (this is the ONE external run; silence would be worse
+    than a crash)."""
+    import pytest
+
+    from tools.run_full_parity import jax_side
+
+    empty = tmp_path / "nothing"
+    empty.mkdir()
+    with pytest.raises(SystemExit, match="no config dump"):
+        jax_side(str(empty), tol=1e-3, report_path=str(tmp_path / "r.json"))

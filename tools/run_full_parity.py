@@ -210,6 +210,10 @@ def jax_side(dumps: str, tol: float, report_path: str) -> int:
         report["configs"][name] = entry
         print(f"{name}: {entry}", flush=True)
 
+    if not report["configs"]:
+        # an empty/mistyped --dumps dir must not report "overall ok"
+        raise SystemExit(f"no config dump directories found under {dumps!r}")
+
     unet_dir = os.path.join(dumps, "unet")
     if os.path.isdir(unet_dir):
         try:
