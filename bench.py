@@ -131,15 +131,19 @@ def _stats(times: list[float], iters: int, batch: int, flops_per_step: float,
 
 
 def _is_memory_failure(exc: Exception) -> bool:
-    """True only for memory-exhaustion failures. Tunnel remote-compile
-    wrappers (``remote_compile``/``tpu_compile_helper``) are NOT benign by
-    themselves — only when their message names a memory cause; a genuine
-    compile regression at a probed batch must propagate."""
+    """True only for capacity failures a larger-batch probe can legitimately
+    hit: memory exhaustion, or the axon tunnel's remote-compile payload cap
+    (HTTP 413 "length limit exceeded" — the serialized program outgrew the
+    proxy's request-body limit, an environment size ceiling exactly analogous
+    to OOM for probing purposes). Tunnel remote-compile wrappers
+    (``remote_compile``/``tpu_compile_helper``) are NOT benign by themselves —
+    a genuine compile regression at a probed batch must propagate."""
     msg = f"{type(exc).__name__}: {exc}"
     return any(tok in msg for tok in
                ("RESOURCE_EXHAUSTED", "Out of memory", "OOM",
                 "out of memory", "exceeds the amount of memory available",
-                "Attempting to allocate"))
+                "Attempting to allocate",
+                "HTTP 413", "length limit exceeded"))
 
 
 def bench_train(model, lpips_params, make_step_fn, batch: int, peak_tf, peak_bw) -> dict:
@@ -241,13 +245,17 @@ def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
         jax.random.key(0), jnp.zeros(latent_shape), jnp.zeros((batch,), jnp.int32), context
     )
 
+    # Context must be a runtime ARGUMENT, not a closure capture: a captured
+    # array is serialized into the HLO as a literal constant, and at b128
+    # the 128x1024x512 f32 context alone is 268 MB — past the axon tunnel's
+    # remote-compile payload cap (HTTP 413).
     sample = jax.jit(
-        lambda p, key: ddim_sample(
+        lambda p, ctx, key: ddim_sample(
             unet.apply, p, schedule, latent_shape, key,
-            num_inference_steps=num_steps, context=context,
+            num_inference_steps=num_steps, context=ctx,
         )
     )
-    cost = _cost(sample, params, jax.random.key(1))
+    cost = _cost(sample, params, context, jax.random.key(1))
     # XLA's cost analysis counts a lax.scan/while body ONCE, not x trip
     # count (verified empirically: scan(length=10) of a matmul reports the
     # same flops as one matmul). The sampler is one scan of num_steps UNet
@@ -269,7 +277,7 @@ def bench_ddim(peak_tf, peak_bw, batch: int = 8) -> dict:
             key, sub = jax.random.split(key)
             if out is not None:
                 sub = jax.random.fold_in(sub, (out.ravel()[0] * 0).astype(jnp.int32))
-            out = sample(params, sub)
+            out = sample(params, context, sub)
         return out
 
     _force(run_chain(1))
@@ -344,6 +352,77 @@ def bench_diffusion_train(peak_tf, peak_bw, batch: int = 8) -> dict:
     _force(run_chain(WARMUP))
     times = _timed_windows(run_chain)
     return _stats(times, ITERS, batch, flops, bytes_acc, peak_tf, peak_bw)
+
+
+def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
+    """Pivotal-tuning inversion (the namesake stage): per-image latent
+    inversion + decoder fine-tune through the frozen/tuned VAE decoder,
+    batched via the ``shard_map``/vmap factory ``cli/run_pti.py`` uses.
+
+    Two programs separate the stages' steady-state step rates: program A
+    runs L inversion steps (tune_steps=0), program B runs L inversion + T
+    tune steps; B−A isolates the tune stage. Cost analysis counts each
+    ``lax.scan`` body once (see ``tests/test_bench_accounting.py``), so
+    program A's flops ARE the per-inversion-step flops. The headline
+    ``pti_images_per_sec`` prices the reference-default 200/100-step recipe
+    at the measured per-step rates.
+    """
+    from pti_ldm_vae_tpu.train.diffusion import make_pivotal_tuning_inversion_batched
+
+    L, T = (40, 20) if jax.default_backend() == "tpu" else (4, 2)
+    rng = np.random.default_rng(11)
+    targets = jnp.asarray(rng.uniform(0.1, 1.0, size=(batch, HW, HW, 1)).astype(np.float32))
+
+    def decode_fn(params, z):
+        return model.apply(params, z, method=model.decode_stage_2_outputs)
+
+    z_init = model.apply(params_g, targets, method=model.encode_deterministic)
+
+    prog_a = make_pivotal_tuning_inversion_batched(
+        decode_fn, latent_steps=L, tune_steps=0)
+    prog_b = make_pivotal_tuning_inversion_batched(
+        decode_fn, latent_steps=L, tune_steps=T)
+
+    def run_a(iters):
+        # Chain iterations through a data dependency (fold the previous
+        # pivots into the next z-init at zero weight) so the final _force
+        # provably covers the whole window — the module-docstring rule.
+        z = z_init
+        for _ in range(iters):
+            pivots, _, _ = prog_a(params_g, targets, z)
+            z = z_init + 0.0 * pivots
+        return z
+
+    def run_b(iters):
+        z = z_init
+        for _ in range(iters):
+            pivots, _, _ = prog_b(params_g, targets, z)
+            z = z_init + 0.0 * pivots
+        return z
+
+    _force(run_a(1))
+    _force(run_b(1))
+    iters = 2
+    t_a = min(_timed_windows(run_a, iters=iters, windows=WINDOWS)) / iters
+    t_b = min(_timed_windows(run_b, iters=iters, windows=WINDOWS)) / iters
+    invert_step_s = t_a / L
+    tune_step_s = max(t_b - t_a, 1e-9) / T
+    # reference-default recipe: 200 inversion + 100 tune steps per image
+    time_per_batch_std = 200 * invert_step_s + 100 * tune_step_s
+    cost_a = _cost(prog_a, params_g, targets, z_init)
+    invert_step_flops = float(cost_a.get("flops", 0.0))
+    out = {
+        "batch": batch,
+        "invert_step_ms": round(invert_step_s * 1e3, 3),
+        "tune_step_ms": round(tune_step_s * 1e3, 3),
+        "invert_steps_per_sec": round(1.0 / invert_step_s, 2),
+        "pti_images_per_sec_200_100": round(batch / time_per_batch_std, 3),
+        "gflop_per_invert_step": round(invert_step_flops / 1e9, 2),
+    }
+    if peak_tf and invert_step_flops:
+        out["invert_mfu"] = round(
+            invert_step_flops / invert_step_s / 1e12 / peak_tf, 4)
+    return out
 
 
 def main() -> None:
@@ -457,37 +536,54 @@ def main() -> None:
         return _stats(times, ITERS, batch, float(cost.get("flops", 0.0)),
                       float(cost.get("bytes accessed", 0.0)), peak_tf, peak_bw)
 
-    train_adv_b8 = bench_train_adv(BATCH)
+    def _row(label, fn):
+        """Optional rows must not kill the whole run — the driver needs the
+        final JSON line even if one model family regresses. Failures are
+        recorded IN the output (never silently swallowed); the required
+        rows above (train/inference) still hard-fail."""
+        try:
+            return fn()
+        except Exception as exc:  # noqa: BLE001 — recorded loudly in the JSON
+            print(f"# {label} FAILED: {type(exc).__name__}: {str(exc)[:200]}",
+                  file=sys.stderr, flush=True)
+            return {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
 
-    ddim = bench_ddim(peak_tf, peak_bw)
+    train_adv_b8 = _row("train_adv_b8", lambda: bench_train_adv(BATCH))
+
+    ddim = _row("ddim_b8", lambda: bench_ddim(peak_tf, peak_bw))
     # DDIM batch probe: the b8 MFU question (latency- vs occupancy-bound)
     # is answered by measuring a large batch on the same program.
     ddim_best = {"batch": 8, **{k: ddim[k] for k in ddim}}
-    for cand in (64,) if on_tpu else ():
+    for cand in (64, 128) if (on_tpu and "error" not in ddim) else ():
         try:
             res = bench_ddim(peak_tf, peak_bw, batch=cand)
         except Exception as exc:
             if not _is_memory_failure(exc):
                 raise
-            print(f"# ddim batch {cand} skipped (memory): {type(exc).__name__}",
+            print(f"# ddim batch {cand} skipped (capacity): {type(exc).__name__}",
                   file=sys.stderr, flush=True)
-            continue
+            break  # a larger candidate can only hit the same ceiling
         if res["samples_per_sec"] > ddim_best.get("samples_per_sec", 0):
             ddim_best = {"batch": cand, **res}
 
-    diffusion_train = bench_diffusion_train(peak_tf, peak_bw)
+    diffusion_train = _row(
+        "diffusion_train_b8", lambda: bench_diffusion_train(peak_tf, peak_bw))
     diffusion_train_best = {"batch": BATCH, **diffusion_train}
-    for cand in (64,) if on_tpu else ():
+    for cand in (64, 128) if (on_tpu and "error" not in diffusion_train) else ():
         try:
             res = bench_diffusion_train(peak_tf, peak_bw, batch=cand)
         except Exception as exc:
             if not _is_memory_failure(exc):
                 raise
-            print(f"# diffusion batch {cand} skipped (memory): {type(exc).__name__}",
+            print(f"# diffusion batch {cand} skipped (capacity): {type(exc).__name__}",
                   file=sys.stderr, flush=True)
-            continue
+            break  # a larger candidate can only hit the same ceiling
         if res["imgs_per_sec"] > diffusion_train_best["imgs_per_sec"]:
             diffusion_train_best = {"batch": cand, **res}
+
+    # PTI (the namesake stage): steady-state inversion/tune step rates on
+    # the flagship decoder, priced at the reference 200/100-step recipe.
+    pti = _row("pti_b8", lambda: bench_pti(model, params_g, peak_tf, peak_bw))
 
     # Conv-roofline position, recorded (not re-measured here — the per-conv
     # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
@@ -498,6 +594,9 @@ def main() -> None:
         ("conv_roofline_v5e_infer_b8.json", "inference_b8"),
         ("conv_roofline_v5e_infer_b128.json", "inference_b128"),
         ("conv_roofline_v5e_train_b8.json", "train_b8"),
+        ("conv_roofline_v5e_train_b64.json", "train_b64"),
+        ("conv_roofline_v5e_train_b128.json", "train_b128"),
+        ("conv_roofline_v5e_ddim_b8.json", "ddim_b8"),
     ):
         path = os.path.join(doc_dir, name)
         if os.path.exists(path):
@@ -524,6 +623,7 @@ def main() -> None:
         "ddim_best": ddim_best,
         "diffusion_train_b8": diffusion_train,
         "diffusion_train_best": diffusion_train_best,
+        "pti_b8": pti,
         "conv_roofline_util_recorded": roofline,
         "measurement": (
             f"best of {WINDOWS} windows x {ITERS} chained steps; every window "

@@ -50,6 +50,30 @@ def test_stats_indeterminate_bound_when_bytes_exceed_physical():
     assert s["bound"].startswith("indeterminate")
 
 
+def test_bench_pti_two_program_differencing():
+    """bench_pti must run end-to-end on a tiny model and produce sane,
+    positive step rates (program B - program A isolates the tune stage)."""
+    from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
+
+    old = bench.HW, bench.ITERS, bench.WINDOWS
+    bench.HW, bench.ITERS, bench.WINDOWS = 32, 2, 1
+    try:
+        model = AutoencoderKL(
+            spatial_dims=2, in_channels=1, out_channels=1, channels=(4, 8),
+            latent_channels=2, num_res_blocks=(1, 1),
+            attention_levels=(False, False), norm_num_groups=4,
+        )
+        params = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, 32, 32, 1)), jax.random.key(1))
+        out = bench.bench_pti(model, params, peak_tf=None, peak_bw=None, batch=2)
+    finally:
+        bench.HW, bench.ITERS, bench.WINDOWS = old
+    assert out["invert_step_ms"] > 0
+    assert out["tune_step_ms"] > 0
+    assert out["pti_images_per_sec_200_100"] > 0
+    assert out["gflop_per_invert_step"] > 0
+
+
 def test_stats_memory_and_compute_bounds():
     mem = bench._stats(
         [1.0], iters=10, batch=8, flops_per_step=1e9,
@@ -61,3 +85,16 @@ def test_stats_memory_and_compute_bounds():
         bytes_per_step=1e9, peak_tf=197.0, peak_bw=819.0,
     )
     assert comp["bound"] == "compute"
+
+
+def test_is_memory_failure_tokens():
+    """Batch probes may skip only capacity failures: memory exhaustion or
+    the tunnel's remote-compile payload cap (HTTP 413). Any other compile
+    failure must propagate — that is a regression, not a size ceiling."""
+    assert bench._is_memory_failure(RuntimeError("RESOURCE_EXHAUSTED: ..."))
+    assert bench._is_memory_failure(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 413: "
+        "Failed to buffer the request body: length limit exceeded"))
+    assert not bench._is_memory_failure(RuntimeError(
+        "INTERNAL: remote_compile: HTTP 500: compiler crashed"))
+    assert not bench._is_memory_failure(ValueError("shape mismatch"))

@@ -397,13 +397,16 @@ def build_ddim(batch: int):
     params = jax.jit(unet.init)(
         jax.random.key(0), jnp.zeros(latent_shape), jnp.zeros((batch,), jnp.int32), context
     )
+    # Context as a runtime argument (a closure capture would serialize it
+    # into the HLO as a literal — 268 MB at b128, past the tunnel's
+    # remote-compile payload cap; see bench.bench_ddim).
     sample = jax.jit(
-        lambda p, key: ddim_sample(
+        lambda p, ctx, key: ddim_sample(
             unet.apply, p, schedule, latent_shape, key,
-            num_inference_steps=num_steps, context=context,
+            num_inference_steps=num_steps, context=ctx,
         )
     )
-    lowered = sample.lower(params, jax.random.key(1))
+    lowered = sample.lower(params, context, jax.random.key(1))
 
     def run_chain(iters):
         out = None
@@ -412,7 +415,7 @@ def build_ddim(batch: int):
             key, sub = jax.random.split(key)
             if out is not None:  # data-chain via the previous sample
                 sub = jax.random.fold_in(sub, (out.ravel()[0] * 0).astype(jnp.int32))
-            out = sample(params, sub)
+            out = sample(params, context, sub)
         return out if out is not None else jnp.zeros(())
 
     return lowered, run_chain, num_steps
@@ -466,6 +469,12 @@ def main() -> None:
                     "of the same dim-numbers family (reported as "
                     "extrapolated_gflops). Bounds wall-clock when a program "
                     "has ~100 unique conv shapes.")
+    ap.add_argument("--budget-s", type=float, default=None,
+                    help="Wall-clock budget for the per-shape microbench "
+                    "phase. Once exceeded, remaining shapes defer to the "
+                    "extrapolated tail (recorded in extrapolated_gflops) "
+                    "and the run still finishes with an honest JSON — "
+                    "unlike an external timeout kill, which writes nothing.")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
 
@@ -513,7 +522,13 @@ def main() -> None:
     extrapolated_gflops = 0.0
     benched: list[dict] = []
     rows = []
-    for c in to_bench:
+    bench_start = time.perf_counter()
+    for i, c in enumerate(to_bench):
+        if args.budget_s is not None and time.perf_counter() - bench_start > args.budget_s:
+            print(f"  BUDGET exhausted after {i}/{len(to_bench)} shapes; "
+                  f"deferring the rest to the extrapolated tail", flush=True)
+            tail.extend(to_bench[i:])
+            break
         try:
             t = bench_conv(c, iters=args.iters)
         except Exception as exc:
