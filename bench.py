@@ -406,19 +406,31 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
     t_a = min(_timed_windows(run_a, iters=iters, windows=WINDOWS)) / iters
     t_b = min(_timed_windows(run_b, iters=iters, windows=WINDOWS)) / iters
     invert_step_s = t_a / L
-    tune_step_s = max(t_b - t_a, 1e-9) / T
-    # reference-default recipe: 200 inversion + 100 tune steps per image
-    time_per_batch_std = 200 * invert_step_s + 100 * tune_step_s
     cost_a = _cost(prog_a, params_g, targets, z_init)
     invert_step_flops = float(cost_a.get("flops", 0.0))
     out = {
         "batch": batch,
         "invert_step_ms": round(invert_step_s * 1e3, 3),
-        "tune_step_ms": round(tune_step_s * 1e3, 3),
         "invert_steps_per_sec": round(1.0 / invert_step_s, 2),
-        "pti_images_per_sec_200_100": round(batch / time_per_batch_std, 3),
         "gflop_per_invert_step": round(invert_step_flops / 1e9, 2),
     }
+    if t_b <= t_a:
+        # Differencing degenerate (jitter swamped the tune stage): report
+        # the inversion-side numbers but no fabricated tune rate/headline.
+        out["tune_step_indeterminate"] = (
+            f"t_b ({t_b*1e3:.1f} ms) <= t_a ({t_a*1e3:.1f} ms); "
+            "B-A differencing below noise — no tune rate reported")
+        if peak_tf and invert_step_flops:
+            out["invert_mfu"] = round(
+                invert_step_flops / invert_step_s / 1e12 / peak_tf, 4)
+        return out
+    tune_step_s = (t_b - t_a) / T
+    # reference-default recipe: 200 inversion + 100 tune steps per image
+    time_per_batch_std = 200 * invert_step_s + 100 * tune_step_s
+    out.update({
+        "tune_step_ms": round(tune_step_s * 1e3, 3),
+        "pti_images_per_sec_200_100": round(batch / time_per_batch_std, 3),
+    })
     if peak_tf and invert_step_flops:
         out["invert_mfu"] = round(
             invert_step_flops / invert_step_s / 1e12 / peak_tf, 4)
@@ -466,13 +478,19 @@ def main() -> None:
         try:
             res = bench_train(model, lpips_params, make_step, cand, peak_tf, peak_bw)
         except Exception as exc:
-            # Only memory-exhaustion counts as a benign skip (batch too big
-            # for this chip's HBM); anything else is a real bench regression
-            # and must fail loudly, not fall back to batch 8.
+            # Capacity (OOM / payload cap) is a benign skip; anything else
+            # is a real regression — record it LOUDLY in the row, but keep
+            # going so the driver still gets the final JSON line with the
+            # measured b8 rows (same policy as _row below).
             if not _is_memory_failure(exc):
-                raise
-            print(f"# batch {cand} skipped (memory): {type(exc).__name__}",
-                  file=sys.stderr, flush=True)
+                train_best = dict(train_best)
+                train_best["probe_error"] = (
+                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
+                print(f"# train batch {cand} FAILED: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"# batch {cand} skipped (memory): {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
             continue
         if res["imgs_per_sec"] > train_best["imgs_per_sec"]:
             best_batch, train_best = cand, res
@@ -489,9 +507,14 @@ def main() -> None:
             res = bench_inference(model, params_g, cand, peak_tf, peak_bw)
         except Exception as exc:
             if not _is_memory_failure(exc):
-                raise
-            print(f"# inference batch {cand} skipped (memory): {type(exc).__name__}",
-                  file=sys.stderr, flush=True)
+                infer_best = dict(infer_best)
+                infer_best["probe_error"] = (
+                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
+                print(f"# inference batch {cand} FAILED: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"# inference batch {cand} skipped (memory): {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
             continue
         if res["imgs_per_sec"] > infer_best["imgs_per_sec"]:
             infer_best_batch, infer_best = cand, res
@@ -559,9 +582,18 @@ def main() -> None:
             res = bench_ddim(peak_tf, peak_bw, batch=cand)
         except Exception as exc:
             if not _is_memory_failure(exc):
-                raise
-            print(f"# ddim batch {cand} skipped (capacity): {type(exc).__name__}",
-                  file=sys.stderr, flush=True)
+                # A genuine regression at a probe batch: record it LOUDLY in
+                # the row (the b8 result and the driver's final JSON line
+                # must still be emitted — same policy as _row).
+                ddim_best["probe_error"] = (
+                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
+                print(f"# ddim batch {cand} FAILED: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"# ddim batch {cand} skipped (capacity — OOM or "
+                      "program payload > tunnel cap; if 413, check for "
+                      f"closure-captured constants): {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
             break  # a larger candidate can only hit the same ceiling
         if res["samples_per_sec"] > ddim_best.get("samples_per_sec", 0):
             ddim_best = {"batch": cand, **res}
@@ -574,9 +606,13 @@ def main() -> None:
             res = bench_diffusion_train(peak_tf, peak_bw, batch=cand)
         except Exception as exc:
             if not _is_memory_failure(exc):
-                raise
-            print(f"# diffusion batch {cand} skipped (capacity): {type(exc).__name__}",
-                  file=sys.stderr, flush=True)
+                diffusion_train_best["probe_error"] = (
+                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
+                print(f"# diffusion batch {cand} FAILED: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"# diffusion batch {cand} skipped (capacity): "
+                      f"{type(exc).__name__}", file=sys.stderr, flush=True)
             break  # a larger candidate can only hit the same ceiling
         if res["imgs_per_sec"] > diffusion_train_best["imgs_per_sec"]:
             diffusion_train_best = {"batch": cand, **res}
@@ -602,7 +638,8 @@ def main() -> None:
         if os.path.exists(path):
             with open(path, encoding="utf-8") as fh:
                 rec = json.load(fh)
-            roofline[key] = rec["conv_roofline_util"]
+            if rec.get("conv_roofline_util") is not None:
+                roofline[key] = rec["conv_roofline_util"]
 
     imgs_per_sec = train_b8["imgs_per_sec"]
     print(json.dumps({

@@ -560,7 +560,10 @@ def main() -> None:
         extrapolated_gflops += work
 
     measured = _measure_program(run_chain, args.iters)
-    util = floor_s / measured
+    # With ZERO shapes benched (budget exhausted before the first shape, or
+    # every probe failed) there is no floor at all — util must be null, not
+    # a fabricated 0.0 that downstream tooling would publish as measured.
+    util = (floor_s / measured) if benched else None
     result = {
         "mode": args.mode,
         "batch": args.batch,
@@ -571,9 +574,11 @@ def main() -> None:
         "extrapolated_gflops": round(extrapolated_gflops, 2),
         "conv_floor_ms": round(floor_s * 1e3, 3),
         "measured_step_ms": round(measured * 1e3, 3),
-        "conv_roofline_util": round(util, 4),
+        "conv_roofline_util": round(util, 4) if util is not None else None,
         "convs": rows,
     }
+    if util is None:
+        result["note"] = "no shapes benched (budget/probe failures); no floor"
     print(json.dumps({k: v for k, v in result.items() if k != "convs"}, indent=2))
     if args.json:
         with open(args.json, "w", encoding="utf-8") as fh:
