@@ -114,3 +114,12 @@ def test_scan_body_convs_parse_once():
     convs = parse_convs(text)
     assert len(convs) == 1, [c["in"] for c in convs]
     assert convs[0]["in"] == [2, 8, 8, 4]
+
+
+def test_roofline_util_null_when_nothing_benched():
+    """Zero benched shapes => util is None (null in the JSON), never 0.0;
+    bench.py skips null records instead of publishing a fake position."""
+    from tools.conv_roofline import _roofline_util
+
+    assert _roofline_util(0.0, 0.05, n_benched=0) is None
+    assert _roofline_util(0.04, 0.05, n_benched=3) == pytest.approx(0.8)

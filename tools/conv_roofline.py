@@ -457,6 +457,17 @@ def build_train(batch: int):
     return lowered, run_chain
 
 
+def _roofline_util(floor_s: float, measured_s: float, n_benched: int):
+    """Floor/measured utilization, or None when ZERO shapes were benched
+    (budget exhausted before the first shape, or every probe failed):
+    with no floor at all the util must be null, not a fabricated 0.0 that
+    downstream tooling (bench.py's recorded-roofline block) would publish
+    as a measured position."""
+    if n_benched == 0:
+        return None
+    return floor_s / measured_s
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe-spec", default=None, help=argparse.SUPPRESS)
@@ -560,10 +571,7 @@ def main() -> None:
         extrapolated_gflops += work
 
     measured = _measure_program(run_chain, args.iters)
-    # With ZERO shapes benched (budget exhausted before the first shape, or
-    # every probe failed) there is no floor at all — util must be null, not
-    # a fabricated 0.0 that downstream tooling would publish as measured.
-    util = (floor_s / measured) if benched else None
+    util = _roofline_util(floor_s, measured, n_benched=len(benched))
     result = {
         "mode": args.mode,
         "batch": args.batch,
