@@ -486,8 +486,17 @@ def main() -> None:
                     "extrapolated tail (recorded in extrapolated_gflops) "
                     "and the run still finishes with an honest JSON — "
                     "unlike an external timeout kill, which writes nothing.")
+    ap.add_argument("--probe-timeout", type=float, default=None,
+                    help="Override the per-shape compile-probe subprocess "
+                    "timeout (seconds, default 360). Lower it for wide "
+                    "full-coverage runs where many mid-size gradient convs "
+                    "each burn the full timeout before falling back to the "
+                    "scaled measurement.")
     ap.add_argument("--json", default=None)
     args = ap.parse_args()
+    if args.probe_timeout is not None:
+        global _PROBE_TIMEOUT_S
+        _PROBE_TIMEOUT_S = args.probe_timeout
 
     if args.probe_spec:
         # child process of _probe_compile: compile (and once execute) the
