@@ -146,6 +146,48 @@ def _is_memory_failure(exc: Exception) -> bool:
                 "HTTP 413", "length limit exceeded"))
 
 
+def _probe_batches(base_row: dict, bench_fn, key: str, candidates, *,
+                   label: str, base_batch: int, enabled: bool,
+                   stop_on_failure: bool = True) -> dict:
+    """Shared larger-batch probe policy for every bench row.
+
+    Starting from the measured ``base_row`` at ``base_batch``, re-run
+    ``bench_fn(batch)`` at each candidate and keep the row maximizing
+    ``key``. Capacity failures (OOM / tunnel payload cap, see
+    ``_is_memory_failure``) are benign skips; anything else is a real
+    regression recorded LOUDLY as ``probe_error`` in the returned row —
+    never fatal, because the driver must still get its final JSON line
+    with the base measurements. ``stop_on_failure=True`` stops at the
+    first failed candidate (a larger batch can only hit the same memory
+    ceiling); the train/inference rows instead keep probing (their 64/128
+    candidates bracket an occupancy range, not a monotone memory ramp).
+    """
+    best = {"batch": base_batch, **base_row}
+    if not enabled or "error" in base_row:
+        return best
+    for cand in candidates:
+        try:
+            res = bench_fn(cand)
+        except Exception as exc:  # noqa: BLE001 — classified below
+            if not _is_memory_failure(exc):
+                best = dict(best)
+                best["probe_error"] = (
+                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
+                print(f"# {label} batch {cand} FAILED: {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            else:
+                print(f"# {label} batch {cand} skipped (capacity — OOM or "
+                      "program payload > tunnel cap; if 413, check for "
+                      f"closure-captured constants): {type(exc).__name__}",
+                      file=sys.stderr, flush=True)
+            if stop_on_failure:
+                break
+            continue
+        if res.get(key, 0) > best.get(key, 0):
+            best = {"batch": cand, **res}
+    return best
+
+
 def bench_train(model, lpips_params, make_step_fn, batch: int, peak_tf, peak_bw) -> dict:
     from pti_ldm_vae_tpu.train.state import create_train_state
 
@@ -473,30 +515,14 @@ def main() -> None:
 
     train_b8 = bench_train(model, lpips_params, make_step, BATCH, peak_tf, peak_bw)
 
-    best_batch, train_best = BATCH, train_b8
     # 64 and 128 bracket the practical occupancy range: 128 measures 396
     # imgs/s on v5e; 192/256 exceed what the backward pass fits in HBM
     # (remote-compile failure), so don't probe past 128.
-    for cand in (64, 128) if on_tpu else ():
-        try:
-            res = bench_train(model, lpips_params, make_step, cand, peak_tf, peak_bw)
-        except Exception as exc:
-            # Capacity (OOM / payload cap) is a benign skip; anything else
-            # is a real regression — record it LOUDLY in the row, but keep
-            # going so the driver still gets the final JSON line with the
-            # measured b8 rows (same policy as _row below).
-            if not _is_memory_failure(exc):
-                train_best = dict(train_best)
-                train_best["probe_error"] = (
-                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
-                print(f"# train batch {cand} FAILED: {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            else:
-                print(f"# batch {cand} skipped (memory): {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            continue
-        if res["imgs_per_sec"] > train_best["imgs_per_sec"]:
-            best_batch, train_best = cand, res
+    train_best = _probe_batches(
+        train_b8,
+        lambda b: bench_train(model, lpips_params, make_step, b, peak_tf, peak_bw),
+        "imgs_per_sec", (64, 128),
+        label="train", base_batch=BATCH, enabled=on_tpu, stop_on_failure=False)
 
     params_g = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, HW, HW, 1)), jax.random.key(1)
@@ -504,23 +530,12 @@ def main() -> None:
     infer_b8 = bench_inference(model, params_g, BATCH, peak_tf, peak_bw)
     # inference picks its own best batch (its memory envelope differs from
     # training's — the train-best batch need not maximize inference)
-    infer_best_batch, infer_best = BATCH, infer_b8
-    for cand in (64, 128) if on_tpu else ():
-        try:
-            res = bench_inference(model, params_g, cand, peak_tf, peak_bw)
-        except Exception as exc:
-            if not _is_memory_failure(exc):
-                infer_best = dict(infer_best)
-                infer_best["probe_error"] = (
-                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
-                print(f"# inference batch {cand} FAILED: {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            else:
-                print(f"# inference batch {cand} skipped (memory): {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            continue
-        if res["imgs_per_sec"] > infer_best["imgs_per_sec"]:
-            infer_best_batch, infer_best = cand, res
+    infer_best = _probe_batches(
+        infer_b8,
+        lambda b: bench_inference(model, params_g, b, peak_tf, peak_bw),
+        "imgs_per_sec", (64, 128),
+        label="inference", base_batch=BATCH, enabled=on_tpu,
+        stop_on_failure=False)
 
     # Adversarial train step (G+D, reference hot loop with adv_enabled —
     # vae_dente_2 / BASELINE configs[2]): one row at the reference batch.
@@ -579,46 +594,17 @@ def main() -> None:
     ddim = _row("ddim_b8", lambda: bench_ddim(peak_tf, peak_bw))
     # DDIM batch probe: the b8 MFU question (latency- vs occupancy-bound)
     # is answered by measuring a large batch on the same program.
-    ddim_best = {"batch": 8, **{k: ddim[k] for k in ddim}}
-    for cand in (64, 128) if (on_tpu and "error" not in ddim) else ():
-        try:
-            res = bench_ddim(peak_tf, peak_bw, batch=cand)
-        except Exception as exc:
-            if not _is_memory_failure(exc):
-                # A genuine regression at a probe batch: record it LOUDLY in
-                # the row (the b8 result and the driver's final JSON line
-                # must still be emitted — same policy as _row).
-                ddim_best["probe_error"] = (
-                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
-                print(f"# ddim batch {cand} FAILED: {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            else:
-                print(f"# ddim batch {cand} skipped (capacity — OOM or "
-                      "program payload > tunnel cap; if 413, check for "
-                      f"closure-captured constants): {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            break  # a larger candidate can only hit the same ceiling
-        if res["samples_per_sec"] > ddim_best.get("samples_per_sec", 0):
-            ddim_best = {"batch": cand, **res}
+    ddim_best = _probe_batches(
+        ddim, lambda b: bench_ddim(peak_tf, peak_bw, batch=b),
+        "samples_per_sec", (64, 128),
+        label="ddim", base_batch=8, enabled=on_tpu)
 
     diffusion_train = _row(
         "diffusion_train_b8", lambda: bench_diffusion_train(peak_tf, peak_bw))
-    diffusion_train_best = {"batch": BATCH, **diffusion_train}
-    for cand in (64, 128) if (on_tpu and "error" not in diffusion_train) else ():
-        try:
-            res = bench_diffusion_train(peak_tf, peak_bw, batch=cand)
-        except Exception as exc:
-            if not _is_memory_failure(exc):
-                diffusion_train_best["probe_error"] = (
-                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
-                print(f"# diffusion batch {cand} FAILED: {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            else:
-                print(f"# diffusion batch {cand} skipped (capacity): "
-                      f"{type(exc).__name__}", file=sys.stderr, flush=True)
-            break  # a larger candidate can only hit the same ceiling
-        if res["imgs_per_sec"] > diffusion_train_best["imgs_per_sec"]:
-            diffusion_train_best = {"batch": cand, **res}
+    diffusion_train_best = _probe_batches(
+        diffusion_train, lambda b: bench_diffusion_train(peak_tf, peak_bw, batch=b),
+        "imgs_per_sec", (64, 128),
+        label="diffusion", base_batch=BATCH, enabled=on_tpu)
 
     # PTI (the namesake stage): steady-state inversion/tune step rates on
     # the flagship decoder, priced at the reference 200/100-step recipe.
@@ -626,23 +612,10 @@ def main() -> None:
     # PTI batch probe: inversion is decoder-only fwd+bwd+Adam-on-latent, so
     # occupancy (hence MFU) should rise with batch like the other rows —
     # measured, not assumed. Figure of merit: image-inversion-steps/s.
-    pti_best = {"batch": BATCH, **pti}
-    for cand in (32, 64) if (on_tpu and "error" not in pti) else ():
-        try:
-            res = bench_pti(model, params_g, peak_tf, peak_bw, batch=cand)
-        except Exception as exc:
-            if not _is_memory_failure(exc):
-                pti_best["probe_error"] = (
-                    f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
-                print(f"# pti batch {cand} FAILED: {type(exc).__name__}",
-                      file=sys.stderr, flush=True)
-            else:
-                print(f"# pti batch {cand} skipped (capacity): "
-                      f"{type(exc).__name__}", file=sys.stderr, flush=True)
-            break  # a larger candidate can only hit the same ceiling
-        if res.get("invert_img_steps_per_sec", 0) > pti_best.get(
-                "invert_img_steps_per_sec", 0):
-            pti_best = {"batch": cand, **res}
+    pti_best = _probe_batches(
+        pti, lambda b: bench_pti(model, params_g, peak_tf, peak_bw, batch=b),
+        "invert_img_steps_per_sec", (32, 64),
+        label="pti", base_batch=BATCH, enabled=on_tpu)
 
     # Conv-roofline position, recorded (not re-measured here — the per-conv
     # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
@@ -675,9 +648,9 @@ def main() -> None:
         "peak_tflops_bf16": peak_tf,
         "peak_hbm_gbps": peak_bw,
         "train_b8": train_b8,
-        "train_best": {"batch": best_batch, **train_best},
+        "train_best": train_best,
         "inference_encode_decode_b8": infer_b8,
-        "inference_encode_decode_best": {"batch": infer_best_batch, **infer_best},
+        "inference_encode_decode_best": infer_best,
         "train_adv_b8": train_adv_b8,
         "ddim": ddim,
         "ddim_best": ddim_best,

@@ -116,6 +116,67 @@ def test_stats_memory_and_compute_bounds():
     assert comp["bound"] == "compute"
 
 
+def test_probe_batches_policy():
+    """The shared batch-probe helper: best-row selection, benign capacity
+    skips, loud probe_error on real regressions, stop-vs-continue policy,
+    and no probing when disabled or the base row already errored."""
+    base = {"imgs_per_sec": 100.0}
+
+    # picks the best candidate by key, tagging its batch
+    best = bench._probe_batches(
+        base, lambda b: {"imgs_per_sec": float(b)}, "imgs_per_sec",
+        (64, 128), label="t", base_batch=8, enabled=True)
+    assert best["batch"] == 128 and best["imgs_per_sec"] == 128.0
+
+    # disabled => base row unchanged (plus its batch tag)
+    off = bench._probe_batches(
+        base, lambda b: 1 / 0, "imgs_per_sec", (64,),
+        label="t", base_batch=8, enabled=False)
+    assert off == {"batch": 8, **base}
+
+    # base row errored => no probing
+    err = bench._probe_batches(
+        {"error": "boom"}, lambda b: 1 / 0, "imgs_per_sec", (64,),
+        label="t", base_batch=8, enabled=True)
+    assert err["batch"] == 8 and "probe_error" not in err
+
+    # capacity failure: benign skip, NO probe_error recorded
+    def oom(b):
+        raise RuntimeError("RESOURCE_EXHAUSTED: out of memory")
+    cap = bench._probe_batches(
+        base, oom, "imgs_per_sec", (64, 128),
+        label="t", base_batch=8, enabled=True)
+    assert "probe_error" not in cap and cap["imgs_per_sec"] == 100.0
+
+    # real regression: recorded loudly, base numbers kept
+    def crash(b):
+        raise ValueError("shape mismatch")
+    bad = bench._probe_batches(
+        base, crash, "imgs_per_sec", (64, 128),
+        label="t", base_batch=8, enabled=True)
+    assert "probe_error" in bad and bad["imgs_per_sec"] == 100.0
+    assert "64" in bad["probe_error"]
+
+    # stop_on_failure=False keeps probing past a failed candidate
+    calls = []
+    def flaky(b):
+        calls.append(b)
+        if b == 64:
+            raise RuntimeError("Out of memory")
+        return {"imgs_per_sec": float(b)}
+    cont = bench._probe_batches(
+        base, flaky, "imgs_per_sec", (64, 128),
+        label="t", base_batch=8, enabled=True, stop_on_failure=False)
+    assert calls == [64, 128] and cont["batch"] == 128
+
+    # stop_on_failure=True stops at the first failure
+    calls.clear()
+    stop = bench._probe_batches(
+        base, flaky, "imgs_per_sec", (64, 128),
+        label="t", base_batch=8, enabled=True, stop_on_failure=True)
+    assert calls == [64] and stop["batch"] == 8
+
+
 def test_is_memory_failure_tokens():
     """Batch probes may skip only capacity failures: memory exhaustion or
     the tunnel's remote-compile payload cap (HTTP 413). Any other compile
