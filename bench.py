@@ -165,13 +165,13 @@ def _probe_batches(base_row: dict, bench_fn, key: str, candidates, *,
     best = {"batch": base_batch, **base_row}
     if not enabled or "error" in base_row:
         return best
+    probe_errors: list[str] = []
     for cand in candidates:
         try:
             res = bench_fn(cand)
         except Exception as exc:  # noqa: BLE001 — classified below
             if not _is_memory_failure(exc):
-                best = dict(best)
-                best["probe_error"] = (
+                probe_errors.append(
                     f"batch {cand}: {type(exc).__name__}: {str(exc)[:200]}")
                 print(f"# {label} batch {cand} FAILED: {type(exc).__name__}",
                       file=sys.stderr, flush=True)
@@ -185,6 +185,11 @@ def _probe_batches(base_row: dict, bench_fn, key: str, candidates, *,
             continue
         if res.get(key, 0) > best.get(key, 0):
             best = {"batch": cand, **res}
+    if probe_errors:
+        # every real regression survives into the returned row, even when a
+        # later candidate succeeded and replaced the best measurements
+        best = dict(best)
+        best["probe_error"] = "; ".join(probe_errors)
     return best
 
 

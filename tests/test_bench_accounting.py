@@ -169,6 +169,18 @@ def test_probe_batches_policy():
         label="t", base_batch=8, enabled=True, stop_on_failure=False)
     assert calls == [64, 128] and cont["batch"] == 128
 
+    # a real regression survives into the row even when a LATER candidate
+    # succeeds and wins best-row selection (fail-then-succeed interleaving)
+    def fail_then_win(b):
+        if b == 64:
+            raise ValueError("shape mismatch")
+        return {"imgs_per_sec": float(b)}
+    mixed = bench._probe_batches(
+        base, fail_then_win, "imgs_per_sec", (64, 128),
+        label="t", base_batch=8, enabled=True, stop_on_failure=False)
+    assert mixed["batch"] == 128 and mixed["imgs_per_sec"] == 128.0
+    assert "64" in mixed["probe_error"]
+
     # stop_on_failure=True stops at the first failure
     calls.clear()
     stop = bench._probe_batches(
