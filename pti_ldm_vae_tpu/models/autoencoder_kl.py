@@ -178,6 +178,7 @@ class Encoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
+    remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -191,12 +192,16 @@ class Encoder(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
+        # nn.remat is a lifted transform: variable paths are unchanged, so
+        # checkpoints are interchangeable between remat and non-remat models.
+        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        Attn = nn.remat(SpatialAttentionBlock) if self.remat else SpatialAttentionBlock
         h = nn.Conv(self.channels[0], (3,) * (x.ndim - 2), padding=1, name="conv_in", **p)(x)
         for level, ch in enumerate(self.channels):
             for block in range(self.num_res_blocks[level]):
-                h = ResBlock(ch, name=f"down_{level}_res_{block}", **rb)(h)
+                h = Res(ch, name=f"down_{level}_res_{block}", **rb)(h)
                 if self.attention_levels[level]:
-                    h = SpatialAttentionBlock(
+                    h = Attn(
                         self.norm_num_groups,
                         self.norm_eps,
                         use_pallas=self.use_pallas_attention,
@@ -207,8 +212,8 @@ class Encoder(nn.Module):
             if level != len(self.channels) - 1:
                 h = Downsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"down_{level}_downsample")(h)
         if self.with_nonlocal_attn:
-            h = ResBlock(self.channels[-1], name="mid_res_1", **rb)(h)
-            h = SpatialAttentionBlock(
+            h = Res(self.channels[-1], name="mid_res_1", **rb)(h)
+            h = Attn(
                 self.norm_num_groups,
                 self.norm_eps,
                 use_pallas=self.use_pallas_attention,
@@ -216,7 +221,7 @@ class Encoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name="mid_attn",
             )(h)
-            h = ResBlock(self.channels[-1], name="mid_res_2", **rb)(h)
+            h = Res(self.channels[-1], name="mid_res_2", **rb)(h)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
             name="norm_out",
@@ -234,6 +239,7 @@ class Decoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
+    remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -247,14 +253,16 @@ class Decoder(nn.Module):
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
+        Res = nn.remat(ResBlock) if self.remat else ResBlock
+        Attn = nn.remat(SpatialAttentionBlock) if self.remat else SpatialAttentionBlock
         rev_channels = list(reversed(self.channels))
         rev_res_blocks = list(reversed(self.num_res_blocks))
         rev_attention = list(reversed(self.attention_levels))
 
         h = nn.Conv(rev_channels[0], (3,) * (z.ndim - 2), padding=1, name="conv_in", **p)(z)
         if self.with_nonlocal_attn:
-            h = ResBlock(rev_channels[0], name="mid_res_1", **rb)(h)
-            h = SpatialAttentionBlock(
+            h = Res(rev_channels[0], name="mid_res_1", **rb)(h)
+            h = Attn(
                 self.norm_num_groups,
                 self.norm_eps,
                 use_pallas=self.use_pallas_attention,
@@ -262,12 +270,12 @@ class Decoder(nn.Module):
                 param_dtype=self.param_dtype,
                 name="mid_attn",
             )(h)
-            h = ResBlock(rev_channels[0], name="mid_res_2", **rb)(h)
+            h = Res(rev_channels[0], name="mid_res_2", **rb)(h)
         for level, ch in enumerate(rev_channels):
             for block in range(rev_res_blocks[level]):
-                h = ResBlock(ch, name=f"up_{level}_res_{block}", **rb)(h)
+                h = Res(ch, name=f"up_{level}_res_{block}", **rb)(h)
                 if rev_attention[level]:
-                    h = SpatialAttentionBlock(
+                    h = Attn(
                         self.norm_num_groups,
                         self.norm_eps,
                         use_pallas=self.use_pallas_attention,
@@ -313,6 +321,12 @@ class AutoencoderKL(nn.Module):
     # Pallas flash attention: measured ~9% faster than XLA at the bottleneck
     # (docs/ARCHITECTURE.md), so None resolves to True on TPU backends.
     use_pallas_attention: bool | None = None
+    # Activation checkpointing (config key "remat"): recompute each
+    # ResBlock/attention block's internals in the backward instead of
+    # storing them — trades ~one extra forward through the blocks for the
+    # activation memory, unlocking batch/resolution sizes whose stored-
+    # activation backward exceeds HBM. Variable paths are unchanged.
+    remat: bool = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -345,6 +359,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             use_pallas=self.use_pallas,
             use_pallas_attention=attn_pallas,
+            remat=self.remat,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -358,6 +373,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             use_pallas=self.use_pallas,
             use_pallas_attention=attn_pallas,
+            remat=self.remat,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -422,6 +438,7 @@ def autoencoder_from_config(
     *,
     use_pallas: bool = False,
     use_pallas_attention: bool | None = None,
+    remat: bool = False,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:
     """Build an AutoencoderKL from a reference-format ``autoencoder_def`` dict
@@ -444,5 +461,6 @@ def autoencoder_from_config(
         with_decoder_nonlocal_attn=config.get("with_decoder_nonlocal_attn", True),
         use_pallas=use_pallas,
         use_pallas_attention=use_pallas_attention,
+        remat=remat,
         compute_dtype=compute_dtype,
     )

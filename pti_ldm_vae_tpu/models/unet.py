@@ -170,6 +170,10 @@ class DiffusionUNet(nn.Module):
     cross_attention_dim: int = 512
     norm_num_groups: int = 32
     norm_eps: float = 1e-6
+    # Activation checkpointing (config key "remat"): recompute each
+    # TimeResBlock/SpatialTransformer's internals in the backward instead of
+    # storing them. Variable paths unchanged (nn.remat is a lifted transform).
+    remat: bool = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -191,6 +195,8 @@ class DiffusionUNet(nn.Module):
         k3 = (3,) * self.spatial_dims
         kw = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         ctx = context if self.with_conditioning else None
+        Res = nn.remat(TimeResBlock) if self.remat else TimeResBlock
+        Attn = nn.remat(SpatialTransformer) if self.remat else SpatialTransformer
 
         temb_dim = self.channels[0] * 4
         temb = timestep_embedding(timesteps, self.channels[0])
@@ -204,13 +210,13 @@ class DiffusionUNet(nn.Module):
         # down path
         for level, ch in enumerate(self.channels):
             for block in range(self.num_res_blocks):
-                h = TimeResBlock(
+                h = Res(
                     ch, self.norm_num_groups, self.norm_eps,
                     compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
-                    h = SpatialTransformer(
+                    h = Attn(
                         self._heads(level), self.norm_num_groups, self.norm_eps,
                         cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
                         compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
@@ -223,16 +229,16 @@ class DiffusionUNet(nn.Module):
                 skips.append(h)
 
         # mid
-        h = TimeResBlock(self.channels[-1], self.norm_num_groups, self.norm_eps,
+        h = Res(self.channels[-1], self.norm_num_groups, self.norm_eps,
                          compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                          name="mid_res_1")(h, temb)
-        h = SpatialTransformer(
+        h = Attn(
             self._heads(len(self.channels) - 1), self.norm_num_groups, self.norm_eps,
             cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name="mid_attn",
         )(h, ctx)
-        h = TimeResBlock(self.channels[-1], self.norm_num_groups, self.norm_eps,
+        h = Res(self.channels[-1], self.norm_num_groups, self.norm_eps,
                          compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                          name="mid_res_2")(h, temb)
 
@@ -241,13 +247,13 @@ class DiffusionUNet(nn.Module):
             ch = self.channels[level]
             for block in range(self.num_res_blocks + 1):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
-                h = TimeResBlock(
+                h = Res(
                     ch, self.norm_num_groups, self.norm_eps,
                     compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                     name=f"up_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
-                    h = SpatialTransformer(
+                    h = Attn(
                         self._heads(level), self.norm_num_groups, self.norm_eps,
                         cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
                         compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
@@ -296,5 +302,6 @@ def diffusion_unet_from_config(config: dict, *, compute_dtype: Any = jnp.float32
         with_conditioning=config.get("with_conditioning", True),
         cross_attention_dim=config.get("cross_attention_dim", 512),
         norm_num_groups=config.get("norm_num_groups", 32),
+        remat=bool(config.get("remat", False)),
         compute_dtype=compute_dtype,
     )

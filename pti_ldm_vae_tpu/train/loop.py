@@ -186,9 +186,13 @@ class VAETrainer:
                 json.dump(split_payload, fh, indent=2)
 
         # ---- models -------------------------------------------------------
+        # "remat": true (our extension, default off) rematerializes block
+        # activations in the backward — lets batch/patch sizes whose stored
+        # activations exceed HBM train at the cost of ~one extra forward.
         self.model = autoencoder_from_config(
             cfg["autoencoder_def"], compute_dtype=compute_dtype,
             use_pallas_attention=use_pallas_attention,
+            remat=resolve_bool(cfg.get("remat", False)),
         )
         init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
         dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)

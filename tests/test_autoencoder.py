@@ -138,3 +138,48 @@ def test_pallas_attention_default_and_equivalence():
             variables, x, jax.random.key(2)
         )
     np.testing.assert_allclose(np.asarray(on), np.asarray(ref), rtol=2e-4, atol=2e-5)
+
+
+def test_remat_same_params_outputs_and_grads(tiny_model):
+    """``remat=True`` (activation checkpointing) is numerically inert: same
+    variable paths, same forward, same gradients — only the backward's
+    memory/compute schedule changes."""
+    model, variables = tiny_model
+    model_r = AutoencoderKL(**TINY, remat=True)
+    x = jnp.asarray(
+        np.random.default_rng(0).normal(size=(2, 16, 16, 1)).astype(np.float32))
+
+    # identical variable structure (remat is a lifted transform)
+    vars_r = model_r.init(jax.random.key(0), x, jax.random.key(1))
+    assert jax.tree_util.tree_structure(vars_r) == jax.tree_util.tree_structure(
+        variables)
+
+    # identical forward under the SAME params
+    recon, mu, sigma = model.apply(variables, x, jax.random.key(2))
+    recon_r, mu_r, sigma_r = model_r.apply(variables, x, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(recon_r), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_r), atol=1e-6)
+
+    # identical gradients
+    def loss(m):
+        def f(v):
+            r, z_mu, z_sigma = m.apply(v, x, jax.random.key(2))
+            return jnp.mean(jnp.abs(r - x)) + 1e-3 * jnp.mean(z_mu**2 + z_sigma**2)
+        return f
+
+    g = jax.grad(loss(model))(variables)
+    g_r = jax.grad(loss(model_r))(variables)
+    flat, flat_r = jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)
+    assert len(flat) == len(flat_r)
+    for a, b in zip(flat, flat_r):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_remat_from_config_factory():
+    cfg = dict(
+        spatial_dims=2, in_channels=1, out_channels=1, latent_channels=4,
+        channels=[8, 16], num_res_blocks=1, norm_num_groups=4,
+        attention_levels=[False, False],
+    )
+    assert autoencoder_from_config(cfg).remat is False
+    assert autoencoder_from_config(cfg, remat=True).remat is True

@@ -216,3 +216,34 @@ def test_pivotal_tuning_inversion_batched_matches_sequential():
             np.asarray(losses["latent"][i]), np.asarray(losses_i["latent"]),
             rtol=1e-5, atol=1e-7,
         )
+
+
+def test_unet_remat_same_params_outputs_and_grads():
+    """``remat=True`` on the UNet is numerically inert: identical variable
+    structure, forward, and gradients (only the backward schedule changes).
+
+    Params are initialized fresh here (NOT the module fixture's — the
+    donated train-step test deletes those buffers)."""
+    unet = DiffusionUNet(**TINY_UNET)
+    unet_r = DiffusionUNet(**TINY_UNET, remat=True)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+    t = jnp.asarray([3, 7], jnp.int32)
+    ctx = jnp.asarray(rng.normal(size=(2, 5, 12)).astype(np.float32))
+    params = unet.init(jax.random.key(0), x, t, ctx)
+
+    assert jax.tree_util.tree_structure(
+        unet_r.init(jax.random.key(0), x, t, ctx)
+    ) == jax.tree_util.tree_structure(params)
+
+    out = unet.apply(params, x, t, ctx)
+    out_r = unet_r.apply(params, x, t, ctx)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out_r), atol=1e-6)
+
+    def make_loss(m):
+        return lambda p: jnp.mean((m.apply(p, x, t, ctx) - x) ** 2)
+
+    g = jax.grad(make_loss(unet))(params)
+    g_r = jax.grad(make_loss(unet_r))(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_r)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
