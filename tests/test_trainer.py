@@ -220,14 +220,16 @@ def test_trainer_parallelism_block(dataset, tmp_path):
     run_dir = tmp_path / "run_sp"
     cfg = _config(dataset, run_dir, max_epochs=1)
     cfg["parallelism"] = {"data": 4, "spatial": 2}
+    cfg["remat"] = True  # activation checkpointing composes with sharding
     trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
     assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
     assert trainer.spatial is True
+    assert trainer.model.remat is True
     result = trainer.train()
     assert np.isfinite(result["best_val_loss"])
 
-    # Numerics match a pure-DP run (spatial partitioning is a layout, not a
-    # math change).
+    # Numerics match a pure-DP non-remat run (spatial partitioning is a
+    # layout, remat a schedule — neither is a math change).
     run_dir2 = tmp_path / "run_dp"
     cfg2 = _config(dataset, run_dir2, max_epochs=1)
     VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False).train()
