@@ -67,8 +67,16 @@ def load_vae_model(
     """Returns (model, variables) — the functional analog of the reference's
     model-in-eval-mode (``vae_loader.py:27-43``)."""
     ae_def = config.autoencoder_def if hasattr(config, "autoencoder_def") else config["autoencoder_def"]
+    # honor the top-level "remat" extension key (activation checkpointing):
+    # inert on pure forwards, but PTI's tune stage differentiates the whole
+    # decoder through this model, where remat buys back activation memory.
+    remat = bool(
+        getattr(config, "remat", False) if hasattr(config, "autoencoder_def")
+        else config.get("remat", False)
+    )
     model = autoencoder_from_config(
-        ae_def, compute_dtype=compute_dtype, use_pallas_attention=use_pallas_attention
+        ae_def, compute_dtype=compute_dtype,
+        use_pallas_attention=use_pallas_attention, remat=remat,
     )
     variables = load_autoencoder_params(checkpoint_path, model, ae_def)
     return model, variables

@@ -74,3 +74,33 @@ def test_uint8_and_rgb_helpers():
 
     with pytest.raises(ValueError):
         visualize_one_slice_in_3d_image(vol, axis=5)
+
+
+def test_load_vae_model_honors_remat(tmp_path):
+    """The top-level "remat" config key reaches the model built by
+    utils.vae_loader.load_vae_model (dict and namespace configs)."""
+    from types import SimpleNamespace
+
+    import jax
+    import jax.numpy as jnp
+
+    from pti_ldm_vae_tpu.checkpoint.orbax_io import save_pytree
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+    from pti_ldm_vae_tpu.utils.vae_loader import load_vae_model
+
+    ae_def = dict(
+        spatial_dims=2, in_channels=1, out_channels=1, latent_channels=4,
+        channels=[8, 16], num_res_blocks=1, norm_num_groups=4,
+        attention_levels=[False, False],
+    )
+    params = autoencoder_from_config(ae_def).init(
+        jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1))
+    ckpt = tmp_path / "ckpt"
+    save_pytree(str(ckpt), params)
+
+    model, _ = load_vae_model({"autoencoder_def": ae_def, "remat": True}, str(ckpt))
+    assert model.remat is True
+    model, _ = load_vae_model({"autoencoder_def": ae_def}, str(ckpt))
+    assert model.remat is False
+    ns = SimpleNamespace(autoencoder_def=ae_def, remat=True)
+    assert load_vae_model(ns, str(ckpt))[0].remat is True
