@@ -40,6 +40,10 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--subset-size", type=int, default=None,
                         help="Use only the first N images (smoke runs)")
     parser.add_argument("--no-wandb", action="store_true")
+    parser.add_argument("--remat", action="store_true",
+                        help="Activation checkpointing (same as config "
+                             "\"remat\": true) — trades ~one extra forward "
+                             "for activation memory at large batch/patch sizes")
     parser.add_argument("--f32", action="store_true",
                         help="Disable bf16 compute (parity runs)")
     parser.add_argument("--profile-port", type=int, default=None,
@@ -74,6 +78,8 @@ def main(argv=None) -> dict:
         cfg["autoencoder_train"]["max_epochs"] = args.max_epochs
     if args.lr:
         cfg["autoencoder_train"]["lr"] = args.lr
+    if args.remat:
+        cfg["remat"] = True
 
     if args.f32:
         # Exact f32: TPU matmuls default to bf16 precision otherwise.
