@@ -380,7 +380,10 @@ def bench_diffusion_train(peak_tf, peak_bw, batch: int = 8) -> dict:
     }
     tx = optax.adam(1e-5)
     opt_state = tx.init(params)
-    step = make_diffusion_train_step(unet, schedule, tx, projector=projector)
+    # donate=True: the chained-window loop below immediately rebinds
+    # (params, opt) every step, so the old buffers are dead.
+    step = make_diffusion_train_step(unet, schedule, tx, projector=projector,
+                                     donate=True)
 
     cost = _cost(step, params, opt_state, latents, cond, jax.random.key(2))
     flops = float(cost.get("flops", 0.0))
@@ -487,7 +490,58 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
     return out
 
 
+def _resolve_backend():
+    """``jax.default_backend()`` with a bounded retry, never a raw traceback.
+
+    The axon tunnel relay can be down for hours (round-3 BENCH rc=1: backend
+    init raised ``Unable to initialize backend 'axon': UNAVAILABLE`` and the
+    bench died with a stack dump the driver could not parse).  Backend init
+    failures are not cached by jax when ALL platforms fail (``_backends``
+    stays empty), so a retry genuinely re-dials the relay.
+
+    Returns ``(platform, None)`` on success or ``(None, error_str)`` after
+    retries are exhausted.  Knobs: ``PTI_BENCH_BACKEND_RETRIES`` (default 1)
+    and ``PTI_BENCH_BACKEND_BACKOFF_S`` (default 90).
+    """
+    retries = int(os.environ.get("PTI_BENCH_BACKEND_RETRIES", "1"))
+    backoff_s = float(os.environ.get("PTI_BENCH_BACKEND_BACKOFF_S", "90"))
+    err = "unknown"
+    for attempt in range(retries + 1):
+        try:
+            return jax.default_backend(), None
+        except RuntimeError as exc:
+            err = f"{type(exc).__name__}: {str(exc)[:400]}"
+            if attempt < retries:
+                print(
+                    f"# backend init failed (attempt {attempt + 1}/{retries + 1}),"
+                    f" retrying in {backoff_s:.0f}s: {err}",
+                    file=sys.stderr, flush=True,
+                )
+                try:  # defensive: drop any partially-registered state
+                    from jax.extend.backend import clear_backends
+
+                    clear_backends()
+                except Exception:
+                    pass
+                time.sleep(backoff_s)
+    return None, err
+
+
 def main() -> None:
+    platform, backend_err = _resolve_backend()
+    if platform is None:
+        # Structured, driver-parseable error line (rc=0: the bench ran and
+        # reports its failure in-band instead of a raw-traceback artifact).
+        print(json.dumps({
+            "metric": "vae_train_step_throughput_256px_b8",
+            "value": 0.0,
+            "unit": "imgs/s",
+            "vs_baseline": 0.0,
+            "probe_error": "tpu_backend_unavailable",
+            "detail": backend_err,
+        }))
+        return
+
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
     from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
@@ -495,7 +549,7 @@ def main() -> None:
     # the benched architecture is the driver's flagship (one definition)
     from __graft_entry__ import FLAGSHIP_CONFIG as config
 
-    on_tpu = jax.default_backend() == "tpu"
+    on_tpu = platform == "tpu"
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = autoencoder_from_config(config, compute_dtype=compute_dtype)
 

@@ -61,15 +61,24 @@ def save_pytree(path: str, tree: Any) -> None:
     tree = fetch_to_host(tree)
     # Write to a sibling tmp dir first, swap in only once complete: a crash
     # mid-write leaves the previous checkpoint intact instead of a
-    # half-written directory.
+    # half-written directory.  The swap itself is two renames (old -> .old,
+    # tmp -> path) so there is no window where NO checkpoint exists at
+    # ``path`` — a crash between them leaves the data at ``.old``, which the
+    # next save clears.  (A plain rmtree-then-rename had exactly that
+    # destructive window.)
     tmp = path + ".tmp"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
+    old = path + ".old"
+    for stale in (tmp, old):
+        if os.path.exists(stale):
+            shutil.rmtree(stale)
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(tmp, tree)
-    if os.path.exists(path):
-        shutil.rmtree(path)
+    had_prev = os.path.exists(path)
+    if had_prev:
+        os.rename(path, old)
     os.rename(tmp, path)
+    if had_prev:
+        shutil.rmtree(old)
 
 
 class _AsyncWriter:
@@ -81,10 +90,14 @@ class _AsyncWriter:
     ``wait`` — a checkpoint that silently failed to write would be worse
     than a crashed run."""
 
-    def __init__(self) -> None:
+    def __init__(self, sentinel_dir: str | None = None) -> None:
         self._queue: queue.Queue = queue.Queue()
         self._thread: threading.Thread | None = None
         self._exc: BaseException | None = None
+        # On abnormal-exit drain failure, a sentinel file lands here so
+        # humans and resume tooling can tell the run is NOT resumable even
+        # when the crash output buries the stderr message.
+        self._sentinel_dir = sentinel_dir
 
     def _worker(self) -> None:
         while True:
@@ -113,11 +126,24 @@ class _AsyncWriter:
         self._queue.put(fn)
 
     def _drain_at_exit(self) -> None:
-        if self._thread is None or not self._queue.unfinished_tasks:
+        if self._thread is None:
             return
         self._queue.join()
         if self._exc is not None:
-            print(f"[ERROR] background checkpoint write failed: {self._exc!r}")
+            import sys
+
+            exc, self._exc = self._exc, None  # report once
+            msg = f"[ERROR] background checkpoint write failed: {exc!r}"
+            print(msg, file=sys.stderr, flush=True)
+            if self._sentinel_dir is not None:
+                try:
+                    with open(
+                        os.path.join(self._sentinel_dir, "CHECKPOINT_WRITE_FAILED"),
+                        "w", encoding="utf-8",
+                    ) as fh:
+                        fh.write(msg + "\n")
+                except OSError:
+                    pass  # the same full disk that failed the write
 
     def wait(self) -> None:
         """Block until every submitted write has finished."""
@@ -145,8 +171,13 @@ class CheckpointManager:
     def __init__(self, model_dir: str):
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
+        # A fresh manager owns the dir: a sentinel from a previous crashed
+        # run is stale once a new run (or a resume) takes over.
+        stale = os.path.join(self.model_dir, "CHECKPOINT_WRITE_FAILED")
+        if os.path.exists(stale):
+            os.remove(stale)
         self.best_epoch_saved: int | None = None
-        self._writer = _AsyncWriter()
+        self._writer = _AsyncWriter(sentinel_dir=self.model_dir)
 
     def wait(self) -> None:
         """Drain pending background checkpoint writes (call before exit or
@@ -235,13 +266,16 @@ class CheckpointManager:
                 "opt_state_d": tree["opt_state_d"],
             },
         )
-        with open(
-            os.path.join(self.model_dir, f"checkpoint_epoch{epoch}.json"), "w", encoding="utf-8"
-        ) as fh:
+        # Sidecar lands atomically (tmp + os.replace): resume scans for the
+        # .json, so a torn sidecar would orphan an otherwise-complete best.
+        sidecar = os.path.join(self.model_dir, f"checkpoint_epoch{epoch}.json")
+        sidecar_tmp = sidecar + ".tmp"
+        with open(sidecar_tmp, "w", encoding="utf-8") as fh:
             json.dump(
                 {"epoch": epoch, "best_val_loss": float(val_loss), "total_step": int(total_step)},
                 fh,
             )
+        os.replace(sidecar_tmp, sidecar)
 
     # -- last -------------------------------------------------------------
     def save_last(self, params_g: Any, params_d: Any | None = None) -> None:

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..checkpoint.orbax_io import load_pytree
-from ..config import load_config
+from ..config import load_config, resolve_bool
 from ..data.factory import create_vae_inference_dataloader
 from ..data.io import write_png, write_tif
 from ..models.unet import ConditionProjector, diffusion_unet_from_config
@@ -58,9 +58,13 @@ def main(argv=None) -> Path:
             f"(got spatial_dims={vae.spatial_dims})"
         )
     patch_size = tuple(vae_cfg.autoencoder_train["patch_size"])
+    # honor the same top-level "remat" placement train_diffusion uses (the
+    # sampler is forward-only so it is a no-op for memory, but the flag must
+    # not silently diverge between train and sample graphs)
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+        remat=resolve_bool(cfg.get("remat", cfg["diffusion_def"].get("remat", False))),
     )
     with_cond = cfg["diffusion_def"].get("with_conditioning", True)
     latent_ch = cfg["diffusion_def"]["in_channels"]

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import optax
 
 from ..checkpoint.orbax_io import save_pytree
-from ..config import load_config
+from ..config import load_config, resolve_bool
 from ..data.factory import create_vae_inference_dataloader
 from ..models.unet import ConditionProjector, diffusion_unet_from_config
 from ..parallel.mesh import make_mesh, place_batch
@@ -39,6 +39,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--num-workers", type=int, default=4)
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--num-samples", type=int, default=None)
+    parser.add_argument("--remat", action="store_true",
+                        help="Force activation checkpointing on the UNet "
+                             "(equivalent to top-level \"remat\": true in the "
+                             "config) — trades ~one extra forward for block "
+                             "activation memory")
     return parser.parse_args(argv)
 
 
@@ -59,9 +64,14 @@ def main(argv=None) -> dict:
     batch_size = args.batch_size or int(train_cfg["batch_size"])
     max_epochs = args.max_epochs or int(train_cfg["max_epochs"])
 
+    # Activation checkpointing: top-level "remat" (documented placement, same
+    # as the VAE's), a legacy diffusion_def-level key, or the --remat flag.
+    remat = bool(args.remat) or resolve_bool(
+        cfg.get("remat", cfg["diffusion_def"].get("remat", False)))
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
+        remat=remat,
     )
     with_cond = cfg["diffusion_def"].get("with_conditioning", True)
     cross_dim = cfg["diffusion_def"].get("cross_attention_dim", 512)

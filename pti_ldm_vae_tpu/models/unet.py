@@ -289,8 +289,19 @@ def project_latent_condition(projector_apply, latent_nhwc: jnp.ndarray) -> jnp.n
     return projector_apply(tokens)
 
 
-def diffusion_unet_from_config(config: dict, *, compute_dtype: Any = jnp.float32) -> DiffusionUNet:
-    """Parity with ``DiffusionUNet.from_config`` (``unet.py:95-116``)."""
+def diffusion_unet_from_config(
+    config: dict, *, compute_dtype: Any = jnp.float32, remat: bool | None = None
+) -> DiffusionUNet:
+    """Parity with ``DiffusionUNet.from_config`` (``unet.py:95-116``).
+
+    ``remat``: explicit override for activation checkpointing.  ``None``
+    (default) falls back to the ``"remat"`` key inside ``config`` — but note
+    the documented placement is the TOP-LEVEL config key, which the diffusion
+    CLIs read and pass here explicitly (same placement the VAE uses via
+    ``train/loop.py`` / ``utils/vae_loader.py``).
+    """
+    if remat is None:
+        remat = bool(config.get("remat", False))
     return DiffusionUNet(
         spatial_dims=config["spatial_dims"],
         in_channels=config["in_channels"],
@@ -302,6 +313,6 @@ def diffusion_unet_from_config(config: dict, *, compute_dtype: Any = jnp.float32
         with_conditioning=config.get("with_conditioning", True),
         cross_attention_dim=config.get("cross_attention_dim", 512),
         norm_num_groups=config.get("norm_num_groups", 32),
-        remat=bool(config.get("remat", False)),
+        remat=remat,
         compute_dtype=compute_dtype,
     )

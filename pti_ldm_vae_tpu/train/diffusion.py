@@ -112,16 +112,21 @@ def make_diffusion_train_step(
     tx: optax.GradientTransformation,
     *,
     projector=None,
-    donate: bool = True,
+    donate: bool = False,
 ):
     """Jitted epsilon-MSE train step over (params, opt_state).
 
     ``params`` is ``{"unet": ..., "projector": ...?}``; conditioning latents
     [B, h, w, C] are projected to context tokens when a projector is given
     (reference conditioning recipe, ``models/README.md:113-126``).
-    ``donate`` donates (params, opt_state) buffers — callers follow the
-    ``params, opt_state, loss = step(params, opt_state, ...)`` update
-    pattern, so the old state is dead and XLA can update in place.
+
+    CALLER CONTRACT when ``donate=True``: the (params, opt_state) argument
+    buffers are DONATED to XLA — on TPU they are deleted after the call, so
+    any later touch of the old pytrees (e.g. an eval against pre-update
+    params) raises a deleted-buffer error.  Donation is a no-op on CPU, so
+    CPU tests will not catch a violation.  Opt in only from loops that
+    immediately rebind both (``params, opt_state, loss = step(params,
+    opt_state, ...)``); the default is the safe non-donating step.
     """
 
     def loss_fn(params, latents, cond_latents, rng):

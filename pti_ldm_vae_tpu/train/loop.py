@@ -335,6 +335,7 @@ class VAETrainer:
         # reads after the loop) so even step 0 doesn't block the pipeline.
         buffered: list[tuple[int, dict]] = []
         batch0: tuple[dict, Any] | None = None
+        batch0_printed = False
         for step, batch in enumerate(self.train_loader):
             images, mask, attrs = self._device_batch(batch)
             self.run_key, step_key = jax.random.split(self.run_key)
@@ -360,21 +361,34 @@ class VAETrainer:
                 # Hold only a device-side row-0 slice (not the full batch)
                 # until after the loop; the host read happens there.
                 batch0 = (metrics, first_row_refs(images))
+            if batch0 is not None and not batch0_printed and step >= 2:
+                # Emit the KL-explosion early warning with ~two steps of
+                # pipeline slack (the host read waits only on batch 0's
+                # already-finished compute) — NOT at end of epoch, where a
+                # mid-epoch NaN/hang would swallow the stats the print
+                # exists to surface.
+                self._print_batch0_stats(batch0[0])
+                batch0_printed = True
         if batch0 is not None:
             metrics0, img0_ref = batch0
+            if not batch0_printed:  # epochs with < 3 batches
+                self._print_batch0_stats(metrics0)
             img0 = first_row_read(img0_ref)
-            # KL-explosion debug stats (reference ``train_vae.py:432-442``).
-            print(
-                f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics0['debug/z_mu_mean']):.4f} | "
-                f"z_sigma mean={float(metrics0['debug/z_sigma_mean']):.4f} | "
-                f"kl_loss={float(metrics0['train/kl_loss']):.4f}"
-            )
             # Train triplet panel for batch 0 (reference ``train_vae.py:479-493``).
             self._log_train_triplet(img0, epoch)
         for step_num, metrics in buffered:
             payload = {k: float(v) for k, v in metrics.items() if not k.startswith("debug/")}
             payload["train/step"] = step_num
             self.logger.log(payload, step=step_num)
+
+    @staticmethod
+    def _print_batch0_stats(metrics0: dict) -> None:
+        """KL-explosion debug stats (reference ``train_vae.py:432-442``)."""
+        print(
+            f"[DEBUG] Train batch0 stats | z_mu mean={float(metrics0['debug/z_mu_mean']):.4f} | "
+            f"z_sigma mean={float(metrics0['debug/z_sigma_mean']):.4f} | "
+            f"kl_loss={float(metrics0['train/kl_loss']):.4f}"
+        )
 
     def _log_train_triplet(self, img, epoch: int) -> None:
         """[original | reconstruction | diff] panel for the epoch's first

@@ -200,3 +200,37 @@ def test_is_memory_failure_tokens():
     assert not bench._is_memory_failure(RuntimeError(
         "INTERNAL: remote_compile: HTTP 500: compiler crashed"))
     assert not bench._is_memory_failure(ValueError("shape mismatch"))
+
+
+def test_bench_dead_backend_emits_structured_json():
+    """With the TPU tunnel dead, bench.py must emit a parseable JSON error
+    line (rc=0), not a raw traceback (round-3 BENCH_r03 regression).
+
+    Simulated by forcing JAX_PLATFORMS=tpu in a subprocess without the axon
+    plugin on PYTHONPATH: backend init raises the same RuntimeError path as
+    a dead tunnel relay."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = {k: v for k, v in os.environ.items() if not k.startswith(("JAX_", "XLA_"))}
+    env.update({
+        "PYTHONPATH": "/root/repo",
+        "JAX_PLATFORMS": "tpu",
+        "PTI_BENCH_BACKEND_RETRIES": "1",
+        "PTI_BENCH_BACKEND_BACKOFF_S": "0.1",
+    })
+    proc = subprocess.run(
+        [sys.executable, "bench.py"], capture_output=True, text=True,
+        timeout=300, env=env, cwd="/root/repo",
+    )
+    assert proc.returncode == 0, f"stderr={proc.stderr[-2000:]}"
+    lines = [ln for ln in proc.stdout.splitlines() if ln.strip().startswith("{")]
+    assert lines, f"no JSON line in stdout: {proc.stdout[-1000:]}"
+    rec = json.loads(lines[-1])
+    assert rec["probe_error"] == "tpu_backend_unavailable"
+    assert rec["metric"] == "vae_train_step_throughput_256px_b8"
+    assert rec["value"] == 0.0
+    # the bounded retry fired once (logged to stderr)
+    assert "retrying in" in proc.stderr

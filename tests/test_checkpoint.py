@@ -221,3 +221,58 @@ def test_reference_full_checkpoint_resume(tmp_path):
     x = jnp.asarray(np.random.default_rng(0).uniform(0.1, 1, (2, 64, 64, 1)).astype(np.float32))
     new_state, metrics = step(state, x, jnp.ones((2,)), {}, {}, jax.random.key(0))
     assert np.isfinite(float(metrics["train/loss_total"]))
+
+
+def test_save_pytree_overwrite_and_stale_dirs(tmp_path):
+    """The two-rename swap overwrites in place and clears stale .tmp/.old
+    debris from a previously crashed swap (ADVICE r3: the old rmtree-then-
+    rename had a window with NO checkpoint at path)."""
+    import os
+
+    path = str(tmp_path / "ckpt")
+    save_pytree(path, {"a": jnp.zeros((2,))})
+    # simulate a crash that left swap debris behind
+    os.makedirs(path + ".tmp", exist_ok=True)
+    os.makedirs(path + ".old", exist_ok=True)
+    save_pytree(path, {"a": jnp.ones((2,))})
+    assert not os.path.exists(path + ".tmp")
+    assert not os.path.exists(path + ".old")
+    np.testing.assert_array_equal(np.asarray(load_pytree(path)["a"]), np.ones((2,)))
+
+
+def test_async_writer_failure_sentinel(tmp_path):
+    """A failed background write surfaces three ways: wait() raises, the
+    atexit drain prints to stderr, and a CHECKPOINT_WRITE_FAILED sentinel
+    lands in the model dir for resume tooling (ADVICE r3)."""
+    import os
+
+    import pytest
+
+    from pti_ldm_vae_tpu.checkpoint.orbax_io import CheckpointManager
+
+    mgr = CheckpointManager(str(tmp_path))
+
+    def boom():
+        raise OSError("disk full")
+
+    mgr._writer.submit(boom)
+    with pytest.raises(RuntimeError, match="background checkpoint write failed"):
+        mgr.wait()
+
+    # the atexit drain path writes the sentinel (call it directly; atexit
+    # itself cannot be exercised in-process)
+    mgr._writer.submit(boom)
+    import time
+
+    for _ in range(100):  # let the worker consume the job
+        if not mgr._writer._queue.unfinished_tasks:
+            break
+        time.sleep(0.05)
+    mgr._writer._drain_at_exit()
+    sentinel = os.path.join(str(tmp_path), "CHECKPOINT_WRITE_FAILED")
+    assert os.path.exists(sentinel)
+    assert "disk full" in open(sentinel, encoding="utf-8").read()
+
+    # a fresh manager over the same dir clears the stale sentinel
+    CheckpointManager(str(tmp_path))
+    assert not os.path.exists(sentinel)
