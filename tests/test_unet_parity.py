@@ -225,3 +225,40 @@ def test_unet_parity():
     np.testing.assert_allclose(
         np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
     )
+
+
+@pytest.mark.slow
+def test_unet_parity_flagship_depth():
+    """Mirror parity at the production LDM architecture
+    (config/ldm_dente.json diffusion_def: 4 levels [32,64,128,256],
+    attention at levels 1-3 with 32 head channels, num_res_blocks=2,
+    cross_attention_dim=512) — the depth-4/skip-concat/attention-stack
+    composition surface the toy CFG cannot reach. 16² latent input keeps
+    the test CPU-cheap while still exercising all three down/upsamples."""
+    cfg = dict(
+        in_channels=4, out_channels=4, channels=(32, 64, 128, 256),
+        attention_levels=(False, True, True, True),
+        num_head_channels=(0, 32, 32, 32),
+        num_res_blocks=2, with_conditioning=True, cross_attention_dim=512,
+        norm_num_groups=32,
+    )
+    unet = DiffusionUNet(**cfg)
+    x = np.random.default_rng(20).normal(size=(2, 16, 16, 4)).astype(np.float32)
+    t = np.array([3, 887], dtype=np.int32)
+    ctx = np.random.default_rng(21).normal(size=(2, 6, 512)).astype(np.float32)
+    variables = unet.init(jax.random.key(9), jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+
+    out_j = unet.apply(variables, jnp.asarray(x), jnp.asarray(t), jnp.asarray(ctx))
+
+    mirror = TorchUNetMirror(
+        jax.tree.map(np.asarray, variables["params"]),
+        dict(cfg, channels=list(cfg["channels"])),
+    ).eval()
+    with torch.no_grad():
+        out_t = mirror(
+            torch.from_numpy(x).permute(0, 3, 1, 2), torch.from_numpy(t),
+            torch.from_numpy(ctx),
+        )
+    np.testing.assert_allclose(
+        np.asarray(out_j), out_t.permute(0, 2, 3, 1).numpy(), rtol=1e-4, atol=1e-4
+    )
