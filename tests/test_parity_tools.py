@@ -169,3 +169,27 @@ def test_full_parity_jax_side_rejects_empty_dumps(tmp_path):
     empty.mkdir()
     with pytest.raises(SystemExit, match="no config dump"):
         jax_side(str(empty), tol=1e-3, report_path=str(tmp_path / "r.json"))
+
+
+def test_full_parity_jax_side_hard_fails_without_lpips_calibration(
+    dump_dir, tmp_path
+):
+    """A dumps dir WITHOUT converted LPIPS weights must produce overall=FAIL
+    (rc=1), never a passing report built on the random-feature fallback —
+    the report's whole purpose is executed REAL-weights parity."""
+    import shutil
+
+    from tools.run_full_parity import jax_side
+
+    dumps = tmp_path / "dumps"
+    dumps.mkdir()
+    shutil.copytree(dump_dir, dumps / "vae_tiny")
+    # note: NO weights/lpips_squeeze.npz
+
+    report_path = tmp_path / "PARITY_REPORT.json"
+    rc = jax_side(str(dumps), 1e-3, str(report_path))
+    report = json.loads(report_path.read_text())
+    assert rc == 1
+    assert report["overall"] == "FAIL"
+    assert report["lpips_evaluate"]["status"] == "FAIL"
+    assert "PARITY_HANDOFF.md" in report["lpips_evaluate"]["reason"]

@@ -124,7 +124,14 @@ def _evaluate_with_lpips(weights_dir: str, workdir: str) -> dict:
 
     lpips_npz = os.path.join(weights_dir, "lpips_squeeze.npz")
     if not os.path.exists(lpips_npz):
-        return {"status": "skipped", "reason": f"{lpips_npz} not found"}
+        # HARD FAIL, not a skip: the entire point of the jax-side run is
+        # real-weights parity. A report built on the random-feature LPIPS
+        # fallback would silently claim parity that was never measured.
+        return {
+            "status": "FAIL",
+            "reason": f"LPIPS calibration weights not found: {lpips_npz} — "
+                      "run the torch-side first (see PARITY_HANDOFF.md)",
+        }
 
     data_dir = os.path.join(workdir, "data", "dente")
     os.makedirs(data_dir, exist_ok=True)
