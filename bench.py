@@ -33,8 +33,19 @@ import numpy as np
 # Persistent compilation cache: the v5e tunnel's remote compile of the full
 # train step takes minutes; cached executables make repeat bench runs fast.
 _CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache_tpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def enable_tpu_compile_cache() -> None:
+    """Enable the persistent compile cache — TPU runs only.
+
+    The repo dir (and so the cache) persists across rounds on hosts with
+    different CPU feature sets; XLA:CPU AOT entries compiled elsewhere load
+    with a machine-feature mismatch (SIGILL risk, cpu_aot_loader E-logs in
+    test runs). TPU executables are remote-compiled against the same chip,
+    so only those are safe to share. Call after the platform is known.
+    """
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 BASELINE_IMGS_PER_SEC = 15.0
 BATCH = 8
@@ -550,6 +561,8 @@ def main() -> None:
     from __graft_entry__ import FLAGSHIP_CONFIG as config
 
     on_tpu = platform == "tpu"
+    if on_tpu:
+        enable_tpu_compile_cache()
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = autoencoder_from_config(config, compute_dtype=compute_dtype)
 

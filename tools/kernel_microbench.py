@@ -32,8 +32,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu")
-jax.config.update("jax_compilation_cache_dir", _CACHE)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+if jax.default_backend() == "tpu":
+    # persistent cache is TPU-only: foreign-host XLA:CPU AOT entries in the
+    # shared cache dir load with machine-feature mismatches (SIGILL risk)
+    jax.config.update("jax_compilation_cache_dir", _CACHE)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ITERS = 30
 WINDOWS = 3

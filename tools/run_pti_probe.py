@@ -36,7 +36,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    if on_tpu:
+        bench.enable_tpu_compile_cache()
+    else:
         bench.ITERS, bench.WINDOWS = 2, 1
     model = autoencoder_from_config(
         FLAGSHIP_CONFIG,

@@ -11,7 +11,12 @@ sys.path.insert(0, "/root/repo")
 import jax
 import jax.numpy as jnp
 
+import jax as _jax
+
 import bench
+
+if _jax.default_backend() == "tpu":
+    bench.enable_tpu_compile_cache()
 from __graft_entry__ import FLAGSHIP_CONFIG as config
 from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
 from pti_ldm_vae_tpu.models.lpips import init_lpips_params

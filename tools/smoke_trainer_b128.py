@@ -39,8 +39,10 @@ def main(argv=None) -> None:
 
     import jax
 
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if jax.default_backend() == "tpu":
+        # TPU-only: foreign-host CPU AOT cache entries are a SIGILL risk
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from pti_ldm_vae_tpu.config import load_config
     from pti_ldm_vae_tpu.data.io import write_tif

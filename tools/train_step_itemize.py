@@ -74,7 +74,9 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
 
     on_tpu = jax.default_backend() == "tpu"
-    if not on_tpu:
+    if on_tpu:
+        bench.enable_tpu_compile_cache()
+    else:
         bench.ITERS, bench.WINDOWS = 2, 1
     hw = args.hw or (32 if args.tiny else bench.HW)
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
