@@ -4,6 +4,7 @@ the unsharded program; combines with data parallelism on a 2-D mesh."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from pti_ldm_vae_tpu.models.autoencoder_kl import AutoencoderKL
@@ -95,3 +96,43 @@ def test_first_row_refs_read_matches_first_local_rows(monkeypatch):
     refs = mesh_mod.first_row_refs(x_sharded)
     got_multi = mesh_mod.first_row_read(refs)
     np.testing.assert_array_equal(got_multi, np.asarray(x)[:1])
+
+
+@pytest.mark.slow
+def test_flagship_architecture_dp_sp_train_step():
+    """The PRODUCTION architecture (4 levels [32,64,128,128], res-blocks x2,
+    both nonlocal mid-blocks — config/vae_dente_no_adv.json) composed with
+    dp2 x sp2 sharding: the depth-4 conv/halo-exchange/attention stack must
+    compile and take one finite full train step on the 8-CPU mesh. The toy
+    tests above pin the numerics; this pins the composition at flagship
+    depth (64^2 keeps the CPU compile tractable)."""
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.train.state import create_train_state
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+
+    model = AutoencoderKL(
+        in_channels=1, out_channels=1, latent_channels=4,
+        channels=(32, 64, 128, 128), num_res_blocks=2, norm_num_groups=16,
+        attention_levels=(False, False, False, False),
+        with_encoder_nonlocal_attn=True, with_decoder_nonlocal_attn=True,
+    )
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0.1, 1.0, size=(4, 64, 64, 1)).astype(np.float32)
+    params = jax.jit(model.init)(
+        jax.random.key(0), jnp.zeros((1, 64, 64, 1)), jax.random.key(1))
+    state = create_train_state(params, lr=1e-4, world_size=2)
+
+    mesh = make_mesh(jax.devices()[:4], data=2, model=2)
+    lcfg = LossConfig(
+        recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+        adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True,
+    )
+    step = make_train_step(model, None, lcfg, adv_active=False, donate=False)
+    with mesh:
+        placed = shard_batch_spatial(
+            mesh, {"image": x, "mask": np.ones((4,), np.float32)})
+        new_state, metrics = step(
+            state, placed["image"], placed["mask"], {},
+            init_lpips_params(), jax.random.key(2))
+        jax.block_until_ready(new_state.params_g)
+    assert np.isfinite(float(metrics["train/loss_total"])), metrics
