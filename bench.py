@@ -501,40 +501,132 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
     return out
 
 
-def _resolve_backend():
-    """``jax.default_backend()`` with a bounded retry, never a raw traceback.
+# First backend touch for the subprocess probe. Module attribute so the
+# hang-path test can substitute a sleeping program without a fake plugin.
+_PROBE_CODE = "import jax; print(jax.default_backend())"
 
-    The axon tunnel relay can be down for hours (round-3 BENCH rc=1: backend
-    init raised ``Unable to initialize backend 'axon': UNAVAILABLE`` and the
-    bench died with a stack dump the driver could not parse).  Backend init
-    failures are not cached by jax when ALL platforms fail (``_backends``
-    stays empty), so a retry genuinely re-dials the relay.
+
+def _unavailable_record(detail: str) -> dict:
+    """The driver-parseable error record for a dead/unreachable backend."""
+    return {
+        "metric": "vae_train_step_throughput_256px_b8",
+        "value": 0.0,
+        "unit": "imgs/s",
+        "vs_baseline": 0.0,
+        "probe_error": "tpu_backend_unavailable",
+        "detail": detail,
+    }
+
+
+def _probe_backend_subprocess(timeout_s: float):
+    """First backend touch in a KILLABLE subprocess under a hard timeout.
+
+    The live failure mode of a down axon relay is a HANG, not an exception:
+    ``make_c_api_client`` blocks dialing 127.0.0.1 (measured >120 s with no
+    return this round; round 3 saw multi-hour blocks). A hung in-process
+    ``jax.default_backend()`` cannot be interrupted, so the first touch runs
+    in a subprocess the parent can kill; only a confirmed-reachable backend
+    is then initialized in-process.
+
+    Returns ``(platform, None)`` or ``(None, error_str)``.
+    """
+    import subprocess
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_CODE],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"backend init hung >{timeout_s:.0f}s (tunnel relay down?)"
+    if proc.returncode != 0:
+        return None, proc.stderr.strip()[-400:] or f"probe exited rc={proc.returncode}"
+    lines = proc.stdout.strip().splitlines()
+    if not lines:
+        return None, "backend probe printed nothing"
+    return lines[-1].strip(), None
+
+
+def _init_backend_watchdogged(timeout_s: float):
+    """In-process backend init with a hang watchdog.
+
+    Runs after a SUCCESSFUL subprocess probe, so init should be fast — but
+    the relay can die in the probe->init window (it flaps; the memory-noted
+    transient also refuses new backends right after a client exits). A hung
+    init here is unrecoverable in-process, so the watchdog emits the
+    structured JSON error line itself and exits 0 — the driver still gets a
+    parseable artifact instead of a timeout kill.
+    """
+    import threading
+
+    done = threading.Event()
+
+    def watchdog():
+        if not done.wait(timeout_s):
+            print(json.dumps(_unavailable_record(
+                f"in-process backend init hung >{timeout_s:.0f}s after a "
+                f"successful probe (relay died mid-init)")), flush=True)
+            os._exit(0)
+
+    threading.Thread(target=watchdog, daemon=True).start()
+    try:
+        platform = jax.default_backend()
+    except RuntimeError as exc:
+        done.set()
+        return None, f"{type(exc).__name__}: {str(exc)[:400]}"
+    done.set()
+    return platform, None
+
+
+def _resolve_backend():
+    """Backend resolution that NEVER hangs and never raw-tracebacks.
+
+    Two observed failure modes of the axon tunnel, both converted into a
+    structured report:
+
+    * backend init RAISES (``Unable to initialize backend 'axon':
+      UNAVAILABLE`` — round-3 BENCH rc=1 died with a stack dump),
+    * backend init HANGS (relay process up, dial blocks forever — the
+      round-3/4 outage mode; an in-process first touch would ride straight
+      into the driver's timeout kill, rc=124 with no JSON).
+
+    Each attempt probes in a killable subprocess first, then initializes
+    in-process under a watchdog. Backend-init failures are not cached by
+    jax when ALL platforms fail (``_backends`` stays empty), so a retry
+    genuinely re-dials the relay.
 
     Returns ``(platform, None)`` on success or ``(None, error_str)`` after
-    retries are exhausted.  Knobs: ``PTI_BENCH_BACKEND_RETRIES`` (default 1)
-    and ``PTI_BENCH_BACKEND_BACKOFF_S`` (default 90).
+    retries are exhausted. Knobs: ``PTI_BENCH_BACKEND_RETRIES`` (default 1),
+    ``PTI_BENCH_BACKEND_BACKOFF_S`` (default 90) and
+    ``PTI_BENCH_BACKEND_TIMEOUT_S`` (probe/watchdog hard timeout,
+    default 150 — the tunnel-discipline probe budget).
     """
     retries = int(os.environ.get("PTI_BENCH_BACKEND_RETRIES", "1"))
     backoff_s = float(os.environ.get("PTI_BENCH_BACKEND_BACKOFF_S", "90"))
+    timeout_s = float(os.environ.get("PTI_BENCH_BACKEND_TIMEOUT_S", "150"))
     err = "unknown"
     for attempt in range(retries + 1):
-        try:
-            return jax.default_backend(), None
-        except RuntimeError as exc:
-            err = f"{type(exc).__name__}: {str(exc)[:400]}"
-            if attempt < retries:
-                print(
-                    f"# backend init failed (attempt {attempt + 1}/{retries + 1}),"
-                    f" retrying in {backoff_s:.0f}s: {err}",
-                    file=sys.stderr, flush=True,
-                )
-                try:  # defensive: drop any partially-registered state
-                    from jax.extend.backend import clear_backends
+        platform, err = _probe_backend_subprocess(timeout_s)
+        if platform is not None:
+            # Short settle: the tunnel transiently refuses new backends right
+            # after a client (the probe) exits.
+            time.sleep(2.0)
+            platform, err = _init_backend_watchdogged(timeout_s)
+            if platform is not None:
+                return platform, None
+            try:  # defensive: drop any partially-registered state
+                from jax.extend.backend import clear_backends
 
-                    clear_backends()
-                except Exception:
-                    pass
-                time.sleep(backoff_s)
+                clear_backends()
+            except Exception:
+                pass
+        if attempt < retries:
+            print(
+                f"# backend init failed (attempt {attempt + 1}/{retries + 1}),"
+                f" retrying in {backoff_s:.0f}s: {err}",
+                file=sys.stderr, flush=True,
+            )
+            time.sleep(backoff_s)
     return None, err
 
 
@@ -543,14 +635,7 @@ def main() -> None:
     if platform is None:
         # Structured, driver-parseable error line (rc=0: the bench ran and
         # reports its failure in-band instead of a raw-traceback artifact).
-        print(json.dumps({
-            "metric": "vae_train_step_throughput_256px_b8",
-            "value": 0.0,
-            "unit": "imgs/s",
-            "vs_baseline": 0.0,
-            "probe_error": "tpu_backend_unavailable",
-            "detail": backend_err,
-        }))
+        print(json.dumps(_unavailable_record(backend_err)))
         return
 
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config

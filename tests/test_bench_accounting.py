@@ -234,3 +234,41 @@ def test_bench_dead_backend_emits_structured_json():
     assert rec["value"] == 0.0
     # the bounded retry fired once (logged to stderr)
     assert "retrying in" in proc.stderr
+
+
+def test_probe_backend_subprocess_kills_hung_init(monkeypatch):
+    """A HANGING first backend touch (the live relay-outage mode: the dial
+    blocks, nothing raises) must be killed by the probe's hard timeout and
+    reported as an error string — measured >120 s of silent block in-process
+    this round."""
+    monkeypatch.setattr(bench, "_PROBE_CODE", "import time; time.sleep(60)")
+    platform, err = bench._probe_backend_subprocess(1.0)
+    assert platform is None
+    assert "hung" in err
+
+
+def test_resolve_backend_survives_hang(monkeypatch):
+    """_resolve_backend must return (None, err) promptly when backend init
+    hangs, instead of riding into the driver's timeout kill (rc=124, no
+    JSON — the artifact class round 3 was dinged for)."""
+    import time as _time
+
+    monkeypatch.setattr(bench, "_PROBE_CODE", "import time; time.sleep(60)")
+    monkeypatch.setenv("PTI_BENCH_BACKEND_RETRIES", "0")
+    monkeypatch.setenv("PTI_BENCH_BACKEND_TIMEOUT_S", "1")
+    t0 = _time.monotonic()
+    platform, err = bench._resolve_backend()
+    assert platform is None
+    assert "hung" in err
+    assert _time.monotonic() - t0 < 30
+
+
+def test_resolve_backend_success_path(monkeypatch):
+    """After a successful probe the in-process init runs (watchdogged) and
+    returns the real platform — the conftest-pinned CPU here."""
+    monkeypatch.setattr(bench, "_PROBE_CODE", "print('cpu')")
+    monkeypatch.setenv("PTI_BENCH_BACKEND_RETRIES", "0")
+    monkeypatch.setenv("PTI_BENCH_BACKEND_TIMEOUT_S", "30")
+    platform, err = bench._resolve_backend()
+    assert err is None
+    assert platform == "cpu"
