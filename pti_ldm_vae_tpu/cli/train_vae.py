@@ -44,6 +44,11 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Activation checkpointing (same as config "
                              "\"remat\": true) — trades ~one extra forward "
                              "for activation memory at large batch/patch sizes")
+    parser.add_argument("--norm-stats", choices=("two_pass", "one_pass"),
+                        default=None,
+                        help="GroupNorm statistics formulation (same as config "
+                             "\"norm_stats\"); \"one_pass\" fuses the mean/"
+                             "E[x^2] reductions into one HBM pass")
     parser.add_argument("--f32", action="store_true",
                         help="Disable bf16 compute (parity runs)")
     parser.add_argument("--profile-port", type=int, default=None,
@@ -80,6 +85,8 @@ def main(argv=None) -> dict:
         cfg["autoencoder_train"]["lr"] = args.lr
     if args.remat:
         cfg["remat"] = True
+    if args.norm_stats:
+        cfg["norm_stats"] = args.norm_stats
 
     if args.f32:
         # Exact f32: TPU matmuls default to bf16 precision otherwise.

@@ -55,6 +55,7 @@ class GroupNormOp(nn.Module):
     eps: float
     silu: bool = False
     use_pallas: bool = False
+    norm_stats: str = "two_pass"  # "one_pass": single-HBM-pass moments (ops/norm.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -63,9 +64,13 @@ class GroupNormOp(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (c,))
         if self.silu:
             return group_norm_silu(
-                x, scale, bias, num_groups=self.num_groups, eps=self.eps, use_pallas=self.use_pallas
+                x, scale, bias, num_groups=self.num_groups, eps=self.eps,
+                use_pallas=self.use_pallas, stats=self.norm_stats,
             )
-        return group_norm(x, scale, bias, num_groups=self.num_groups, eps=self.eps)
+        return group_norm(
+            x, scale, bias, num_groups=self.num_groups, eps=self.eps,
+            stats=self.norm_stats,
+        )
 
 
 class ResBlock(nn.Module):
@@ -77,6 +82,7 @@ class ResBlock(nn.Module):
     norm_num_groups: int
     norm_eps: float
     use_pallas: bool = False
+    norm_stats: str = "two_pass"
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -85,14 +91,16 @@ class ResBlock(nn.Module):
         in_channels = x.shape[-1]
         k3 = (3,) * (x.ndim - 2)
         h = GroupNormOp(
-            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm1"
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
+            norm_stats=self.norm_stats, name="norm1"
         )(x)
         h = nn.Conv(
             self.out_channels, k3, padding=1,
             dtype=self.compute_dtype, param_dtype=self.param_dtype, name="conv1",
         )(h)
         h = GroupNormOp(
-            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas, name="norm2"
+            self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
+            norm_stats=self.norm_stats, name="norm2"
         )(h)
         h = nn.Conv(
             self.out_channels, k3, padding=1,
@@ -117,6 +125,7 @@ class SpatialAttentionBlock(nn.Module):
     norm_eps: float
     num_head_channels: int | None = None
     use_pallas: bool = False  # Pallas flash-attention kernel (the measured win)
+    norm_stats: str = "two_pass"
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -125,7 +134,8 @@ class SpatialAttentionBlock(nn.Module):
         b, c = x.shape[0], x.shape[-1]
         num_heads = c // self.num_head_channels if self.num_head_channels else 1
         residual = x
-        xn = GroupNormOp(self.norm_num_groups, self.norm_eps, name="norm")(x)
+        xn = GroupNormOp(self.norm_num_groups, self.norm_eps,
+                         norm_stats=self.norm_stats, name="norm")(x)
         seq = xn.reshape(b, -1, c)
         q = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_q")(seq)
         k = nn.Dense(c, dtype=self.compute_dtype, param_dtype=self.param_dtype, name="to_k")(seq)
@@ -178,6 +188,7 @@ class Encoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
+    norm_stats: str = "two_pass"
     remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -189,6 +200,7 @@ class Encoder(nn.Module):
             norm_num_groups=self.norm_num_groups,
             norm_eps=self.norm_eps,
             use_pallas=self.use_pallas,
+            norm_stats=self.norm_stats,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -205,6 +217,7 @@ class Encoder(nn.Module):
                         self.norm_num_groups,
                         self.norm_eps,
                         use_pallas=self.use_pallas_attention,
+                        norm_stats=self.norm_stats,
                         compute_dtype=self.compute_dtype,
                         param_dtype=self.param_dtype,
                         name=f"down_{level}_attn_{block}",
@@ -217,6 +230,7 @@ class Encoder(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 use_pallas=self.use_pallas_attention,
+                norm_stats=self.norm_stats,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 name="mid_attn",
@@ -224,7 +238,7 @@ class Encoder(nn.Module):
             h = Res(self.channels[-1], name="mid_res_2", **rb)(h)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
-            name="norm_out",
+            norm_stats=self.norm_stats, name="norm_out",
         )(h)
         return nn.Conv(self.latent_channels, (3,) * (h.ndim - 2), padding=1, name="conv_out", **p)(h)
 
@@ -239,6 +253,7 @@ class Decoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
+    norm_stats: str = "two_pass"
     remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -250,6 +265,7 @@ class Decoder(nn.Module):
             norm_num_groups=self.norm_num_groups,
             norm_eps=self.norm_eps,
             use_pallas=self.use_pallas,
+            norm_stats=self.norm_stats,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -266,6 +282,7 @@ class Decoder(nn.Module):
                 self.norm_num_groups,
                 self.norm_eps,
                 use_pallas=self.use_pallas_attention,
+                norm_stats=self.norm_stats,
                 compute_dtype=self.compute_dtype,
                 param_dtype=self.param_dtype,
                 name="mid_attn",
@@ -279,6 +296,7 @@ class Decoder(nn.Module):
                         self.norm_num_groups,
                         self.norm_eps,
                         use_pallas=self.use_pallas_attention,
+                        norm_stats=self.norm_stats,
                         compute_dtype=self.compute_dtype,
                         param_dtype=self.param_dtype,
                         name=f"up_{level}_attn_{block}",
@@ -287,7 +305,7 @@ class Decoder(nn.Module):
                 h = Upsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"up_{level}_upsample")(h)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
-            name="norm_out",
+            norm_stats=self.norm_stats, name="norm_out",
         )(h)
         return nn.Conv(self.out_channels, (3,) * (h.ndim - 2), padding=1, name="conv_out", **p)(h)
 
@@ -321,6 +339,11 @@ class AutoencoderKL(nn.Module):
     # Pallas flash attention: measured ~9% faster than XLA at the bottleneck
     # (docs/ARCHITECTURE.md), so None resolves to True on TPU backends.
     use_pallas_attention: bool | None = None
+    # GroupNorm statistics formulation (config key "norm_stats"):
+    # "one_pass" computes mean/E[x^2] in one fused HBM pass instead of the
+    # sequential mean-then-centered-variance pair — the train step is
+    # reduce-traffic bound off the conv floor (tools/train_step_hbm_model.py).
+    norm_stats: str = "two_pass"
     # Activation checkpointing (config key "remat"): recompute each
     # ResBlock/attention block's internals in the backward instead of
     # storing them — trades ~one extra forward through the blocks for the
@@ -359,6 +382,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_encoder_nonlocal_attn,
             use_pallas=self.use_pallas,
             use_pallas_attention=attn_pallas,
+            norm_stats=self.norm_stats,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
@@ -373,6 +397,7 @@ class AutoencoderKL(nn.Module):
             with_nonlocal_attn=self.with_decoder_nonlocal_attn,
             use_pallas=self.use_pallas,
             use_pallas_attention=attn_pallas,
+            norm_stats=self.norm_stats,
             remat=self.remat,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
@@ -438,6 +463,7 @@ def autoencoder_from_config(
     *,
     use_pallas: bool = False,
     use_pallas_attention: bool | None = None,
+    norm_stats: str = "two_pass",
     remat: bool = False,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:
@@ -461,6 +487,7 @@ def autoencoder_from_config(
         with_decoder_nonlocal_attn=config.get("with_decoder_nonlocal_attn", True),
         use_pallas=use_pallas,
         use_pallas_attention=use_pallas_attention,
+        norm_stats=norm_stats,
         remat=remat,
         compute_dtype=compute_dtype,
     )

@@ -26,17 +26,38 @@ def group_norm(
     *,
     num_groups: int,
     eps: float = 1e-6,
+    stats: str = "two_pass",
 ) -> jnp.ndarray:
     """GroupNorm over channel-last input of any spatial rank (N..C);
-    statistics in f32 regardless of input dtype."""
+    statistics in f32 regardless of input dtype.
+
+    ``stats`` selects the statistics formulation:
+
+    * ``"two_pass"`` (default): ``var = mean((x - mean)^2)`` — the centered
+      form; the variance pass depends on the mean, so XLA emits TWO
+      sequential reads of ``x`` from HBM.
+    * ``"one_pass"``: ``var = mean(x^2) - mean(x)^2`` — both moments depend
+      only on ``x``, so XLA's multi-output fusion computes them in ONE HBM
+      pass. The train step is reduce-traffic bound off the conv floor
+      (tools/train_step_hbm_model.py: norm stats are the top non-conv HBM
+      category), making this the targeted lever. f32 accumulation; the
+      difference form loses precision only when ``mean^2 >> var``
+      (near-constant groups), which post-conv activations don't exhibit.
+    """
     c = x.shape[-1]
     spatial = x.shape[1:-1]
     if c % num_groups:
         raise ValueError(f"channels {c} not divisible by num_groups {num_groups}")
+    if stats not in ("two_pass", "one_pass"):
+        raise ValueError(f"unknown stats mode {stats!r}")
     xg = x.astype(jnp.float32).reshape(x.shape[0], *spatial, num_groups, c // num_groups)
     axes = tuple(range(1, 1 + len(spatial))) + (xg.ndim - 1,)
     mean = jnp.mean(xg, axis=axes, keepdims=True)
-    var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
+    if stats == "one_pass":
+        m2 = jnp.mean(jnp.square(xg), axis=axes, keepdims=True)
+        var = jnp.maximum(m2 - jnp.square(mean), 0.0)
+    else:
+        var = jnp.mean(jnp.square(xg - mean), axis=axes, keepdims=True)
     xn = ((xg - mean) / jnp.sqrt(var + eps)).reshape(x.shape)
     out = xn * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     return out.astype(x.dtype)
@@ -50,9 +71,11 @@ def group_norm_silu(
     num_groups: int,
     eps: float = 1e-6,
     use_pallas: bool = False,
+    stats: str = "two_pass",
 ) -> jnp.ndarray:
     """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel
-    (4-D NHWC only; other ranks use the XLA formulation)."""
+    (4-D NHWC only; other ranks use the XLA formulation); ``stats`` selects the
+    XLA statistics formulation (see :func:`group_norm`)."""
     # The Pallas kernel keeps one whole image in VMEM; above ~1.5M elements
     # (input + output + f32 stats temp > ~12 MB) it cannot fit — fall back to
     # the XLA formulation for those (only the first encoder level at 256^2).
@@ -60,7 +83,7 @@ def group_norm_silu(
         from .pallas.groupnorm_silu import groupnorm_silu_pallas
 
         return groupnorm_silu_pallas(x, scale, bias, num_groups, eps)
-    y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps)
+    y = group_norm(x, scale, bias, num_groups=num_groups, eps=eps, stats=stats)
     yf = y.astype(jnp.float32)
     return (yf * (1.0 / (1.0 + jnp.exp(-yf)))).astype(x.dtype)
 

@@ -193,6 +193,7 @@ class VAETrainer:
             cfg["autoencoder_def"], compute_dtype=compute_dtype,
             use_pallas_attention=use_pallas_attention,
             remat=resolve_bool(cfg.get("remat", False)),
+            norm_stats=str(cfg.get("norm_stats", "two_pass")),
         )
         init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
         dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)

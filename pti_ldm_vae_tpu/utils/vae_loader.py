@@ -74,9 +74,16 @@ def load_vae_model(
         getattr(config, "remat", False) if hasattr(config, "autoencoder_def")
         else config.get("remat", False)
     )
+    # top-level "norm_stats" extension key ("one_pass": single-HBM-pass
+    # GroupNorm moments; see ops/norm.py) — same placement as "remat".
+    norm_stats = str(
+        getattr(config, "norm_stats", "two_pass") if hasattr(config, "autoencoder_def")
+        else config.get("norm_stats", "two_pass")
+    )
     model = autoencoder_from_config(
         ae_def, compute_dtype=compute_dtype,
         use_pallas_attention=use_pallas_attention, remat=remat,
+        norm_stats=norm_stats,
     )
     variables = load_autoencoder_params(checkpoint_path, model, ae_def)
     return model, variables
