@@ -68,10 +68,12 @@ def main(argv=None) -> dict:
     # as the VAE's), a legacy diffusion_def-level key, or the --remat flag.
     remat = bool(args.remat) or resolve_bool(
         cfg.get("remat", cfg["diffusion_def"].get("remat", False)))
+    norm_stats = str(cfg.get("norm_stats", "two_pass"))
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
         remat=remat,
+        norm_stats=norm_stats,
     )
     with_cond = cfg["diffusion_def"].get("with_conditioning", True)
     cross_dim = cfg["diffusion_def"].get("cross_attention_dim", 512)

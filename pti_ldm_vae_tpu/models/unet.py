@@ -56,6 +56,7 @@ class TimeResBlock(nn.Module):
     out_channels: int
     norm_num_groups: int
     norm_eps: float = 1e-6
+    norm_stats: str = "two_pass"
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -66,7 +67,8 @@ class TimeResBlock(nn.Module):
         k3 = (3,) * (x.ndim - 2)
         scale1 = self.param("norm1_scale", nn.initializers.ones, (in_channels,))
         bias1 = self.param("norm1_bias", nn.initializers.zeros, (in_channels,))
-        h = group_norm_silu(x, scale1, bias1, num_groups=self.norm_num_groups, eps=self.norm_eps)
+        h = group_norm_silu(x, scale1, bias1, num_groups=self.norm_num_groups,
+                            eps=self.norm_eps, stats=self.norm_stats)
         h = nn.Conv(self.out_channels, k3, padding=1, name="conv1", **conv_kw)(h)
         t = nn.Dense(self.out_channels, name="time_emb_proj", **conv_kw)(
             jax.nn.silu(temb.astype(self.compute_dtype))
@@ -74,7 +76,8 @@ class TimeResBlock(nn.Module):
         h = h + t.reshape(t.shape[0], *((1,) * (x.ndim - 2)), t.shape[-1])
         scale2 = self.param("norm2_scale", nn.initializers.ones, (self.out_channels,))
         bias2 = self.param("norm2_bias", nn.initializers.zeros, (self.out_channels,))
-        h = group_norm_silu(h, scale2, bias2, num_groups=self.norm_num_groups, eps=self.norm_eps)
+        h = group_norm_silu(h, scale2, bias2, num_groups=self.norm_num_groups,
+                            eps=self.norm_eps, stats=self.norm_stats)
         h = nn.Conv(self.out_channels, k3, padding=1, name="conv2", **conv_kw)(h)
         if in_channels != self.out_channels:
             x = nn.Conv(self.out_channels, (1,) * (x.ndim - 2), name="skip", **conv_kw)(x)
@@ -137,6 +140,7 @@ class SpatialTransformer(nn.Module):
     num_heads: int
     norm_num_groups: int
     norm_eps: float = 1e-6
+    norm_stats: str = "two_pass"
     cross_attention_dim: int | None = None
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -148,7 +152,8 @@ class SpatialTransformer(nn.Module):
         kw = dict(dtype=self.compute_dtype, param_dtype=self.param_dtype)
         scale = self.param("norm_scale", nn.initializers.ones, (c,))
         bias = self.param("norm_bias", nn.initializers.zeros, (c,))
-        hidden = group_norm(x, scale, bias, num_groups=self.norm_num_groups, eps=self.norm_eps)
+        hidden = group_norm(x, scale, bias, num_groups=self.norm_num_groups,
+                            eps=self.norm_eps, stats=self.norm_stats)
         hidden = nn.Conv(c, k1, name="proj_in", **kw)(hidden).reshape(b, -1, c)
         hidden = TransformerBlock(
             num_heads=self.num_heads, cross_attention_dim=self.cross_attention_dim,
@@ -174,6 +179,10 @@ class DiffusionUNet(nn.Module):
     # TimeResBlock/SpatialTransformer's internals in the backward instead of
     # storing them. Variable paths unchanged (nn.remat is a lifted transform).
     remat: bool = False
+    # GroupNorm statistics formulation (top-level config key "norm_stats",
+    # same placement as "remat"; see ops/norm.py): "one_pass" fuses the
+    # mean/E[x^2] reductions into one HBM read per norm.
+    norm_stats: str = "two_pass"
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -212,12 +221,14 @@ class DiffusionUNet(nn.Module):
             for block in range(self.num_res_blocks):
                 h = Res(
                     ch, self.norm_num_groups, self.norm_eps,
+                    norm_stats=self.norm_stats,
                     compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                     name=f"down_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
                     h = Attn(
                         self._heads(level), self.norm_num_groups, self.norm_eps,
+                        norm_stats=self.norm_stats,
                         cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
                         compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                         name=f"down_{level}_attn_{block}",
@@ -230,15 +241,18 @@ class DiffusionUNet(nn.Module):
 
         # mid
         h = Res(self.channels[-1], self.norm_num_groups, self.norm_eps,
+                         norm_stats=self.norm_stats,
                          compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                          name="mid_res_1")(h, temb)
         h = Attn(
             self._heads(len(self.channels) - 1), self.norm_num_groups, self.norm_eps,
+            norm_stats=self.norm_stats,
             cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
             compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
             name="mid_attn",
         )(h, ctx)
         h = Res(self.channels[-1], self.norm_num_groups, self.norm_eps,
+                         norm_stats=self.norm_stats,
                          compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                          name="mid_res_2")(h, temb)
 
@@ -249,12 +263,14 @@ class DiffusionUNet(nn.Module):
                 h = jnp.concatenate([h, skips.pop()], axis=-1)
                 h = Res(
                     ch, self.norm_num_groups, self.norm_eps,
+                    norm_stats=self.norm_stats,
                     compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                     name=f"up_{level}_res_{block}",
                 )(h, temb)
                 if self.attention_levels[level]:
                     h = Attn(
                         self._heads(level), self.norm_num_groups, self.norm_eps,
+                        norm_stats=self.norm_stats,
                         cross_attention_dim=self.cross_attention_dim if ctx is not None else None,
                         compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
                         name=f"up_{level}_attn_{block}",
@@ -265,7 +281,8 @@ class DiffusionUNet(nn.Module):
 
         scale = self.param("norm_out_scale", nn.initializers.ones, (h.shape[-1],))
         bias = self.param("norm_out_bias", nn.initializers.zeros, (h.shape[-1],))
-        h = group_norm_silu(h, scale, bias, num_groups=self.norm_num_groups, eps=self.norm_eps)
+        h = group_norm_silu(h, scale, bias, num_groups=self.norm_num_groups,
+                            eps=self.norm_eps, stats=self.norm_stats)
         out = nn.Conv(self.out_channels, k3, padding=1, name="conv_out", **kw)(h)
         return out.astype(jnp.float32)
 
@@ -290,7 +307,8 @@ def project_latent_condition(projector_apply, latent_nhwc: jnp.ndarray) -> jnp.n
 
 
 def diffusion_unet_from_config(
-    config: dict, *, compute_dtype: Any = jnp.float32, remat: bool | None = None
+    config: dict, *, compute_dtype: Any = jnp.float32, remat: bool | None = None,
+    norm_stats: str | None = None,
 ) -> DiffusionUNet:
     """Parity with ``DiffusionUNet.from_config`` (``unet.py:95-116``).
 
@@ -302,6 +320,8 @@ def diffusion_unet_from_config(
     """
     if remat is None:
         remat = bool(config.get("remat", False))
+    if norm_stats is None:
+        norm_stats = str(config.get("norm_stats", "two_pass"))
     return DiffusionUNet(
         spatial_dims=config["spatial_dims"],
         in_channels=config["in_channels"],
@@ -314,5 +334,6 @@ def diffusion_unet_from_config(
         cross_attention_dim=config.get("cross_attention_dim", 512),
         norm_num_groups=config.get("norm_num_groups", 32),
         remat=remat,
+        norm_stats=norm_stats,
         compute_dtype=compute_dtype,
     )
