@@ -25,10 +25,11 @@ Model (perfect-fusion lower-bound reasoning, stated per category):
     never resident),
   - lower (the headline): each reduce's input traced back through the
     elementwise/broadcast/convert chain to its ROOT materialized values
-    (conv outputs, arguments), priced once per reduce at the root's STORED
-    width (bf16 for the conv stack). Two reduces of the same root in the
-    same pass (jnp.var's mean-then-moments) still count separately — they
-    are sequential passes — but the f32 phantom width is gone.
+    (conv outputs, arguments), priced at the root's STORED width (bf16 for
+    the conv stack), with reduces sharing an IDENTICAL root set priced as
+    ONE pass (XLA multi-output fusion). jnp.var's mean-then-centered-
+    moments stays two passes — the variance roots include the mean-reduce
+    output — while norm_stats="one_pass" collapses them to one.
 * ``optimizer`` — Adam reads p/m/v and writes p/m/v: 6 x param bytes (f32).
   The gradient read is NOT added: weight-grads are conv outputs, and their
   consumer read is already in ``conv_boundary``.
@@ -155,29 +156,40 @@ def reduce_traffic(text: str) -> dict:
         if "stablehlo.reduce" not in block:
             continue
         defs = _build_defs(block)
+        # Reduces with IDENTICAL root sets and no dependence between them
+        # multi-output-fuse: XLA computes them in ONE pass over the roots
+        # (this is exactly what norm_stats="one_pass" arranges — mean and
+        # E[x^2] share root {conv_out}, while two_pass's variance roots
+        # additionally contain the mean-reduce output, forcing a second
+        # pass). Group per root-set and price each group's roots once.
+        groups: dict[frozenset, dict] = {}
         for m in _REDUCE_RE.finditer(block):
             args = [a.strip() for a in m.group("args").split(",")]
             operands = [a.split(" ")[0].lstrip("%").split("#")[0]
                         for a in args if not a.startswith("init")]
             ins = [s.strip() for s in m.group("ins").split(",")]
-            pass_lower = 0
             for name, spec in zip(operands, ins):
                 b = _tensor_bytes(spec)
                 if b <= _DT_BYTES["f64"]:  # scalar init
                     continue
                 upper_in += b
+                roots = _roots_of(name, defs)
                 root_bytes = 0
-                for r in _roots_of(name, defs):
+                for r in roots:
                     rspec = defs.get(r, (None, None, ""))[2]
                     root_bytes += _tensor_bytes(rspec)
-                pass_lower += min(root_bytes, b) if root_bytes else b
+                g = groups.setdefault(frozenset(roots), {
+                    "root_bytes": root_bytes, "lowered_bytes": 0})
+                g["lowered_bytes"] += b
                 key = (spec,)
                 row = rows.setdefault(key, {"tensor": spec.strip(),
                                             "count": 0, "bytes_each": b})
                 row["count"] += 1
-            lower_in += pass_lower
             for spec in re.findall(r"tensor<[^>]*>", m.group("outs")):
                 out_bytes += _tensor_bytes(spec)
+        for g in groups.values():
+            lower_in += (min(g["root_bytes"], g["lowered_bytes"])
+                         if g["root_bytes"] else g["lowered_bytes"])
     top = sorted(rows.values(), key=lambda r: -r["bytes_each"] * r["count"])
     return {"lower_in": lower_in, "upper_in": upper_in,
             "out": out_bytes, "top": top[:12]}
@@ -214,6 +226,11 @@ def main(argv=None) -> int:
                     help="bf16 MXU peak (default: v5e 197)")
     ap.add_argument("--tpu-dtypes", action="store_true", default=True,
                     help="lower with bf16 compute dtype (as the TPU run does)")
+    ap.add_argument("--norm-stats", choices=("two_pass", "one_pass"),
+                    default="two_pass",
+                    help="model the step with this GroupNorm stats "
+                         "formulation (predicts the run_norm_stats_ab.py "
+                         "delta before hardware confirms it)")
     ap.add_argument("--floor-json", default=None,
                     help="committed conv_roofline JSON: supplies the measured "
                          "conv floor + measured step time for comparison")
@@ -233,7 +250,8 @@ def main(argv=None) -> int:
 
     # Lower EXACTLY what the TPU run lowers (bf16 compute dtype): lowering is
     # platform-independent, so the analysis of the TPU program runs on CPU.
-    model = autoencoder_from_config(FLAGSHIP_CONFIG, compute_dtype=jnp.bfloat16)
+    model = autoencoder_from_config(
+        FLAGSHIP_CONFIG, compute_dtype=jnp.bfloat16, norm_stats=args.norm_stats)
     rng = np.random.default_rng(0)
     images = jnp.asarray(
         rng.uniform(0.1, 1.0, size=(args.batch, 256, 256, 1)).astype(np.float32))
@@ -270,6 +288,7 @@ def main(argv=None) -> int:
 
     result = {
         "batch": args.batch,
+        "norm_stats": args.norm_stats,
         "model": "perfect-fusion HBM traffic bound (see tool docstring)",
         "bw_gbps": args.bw_gbps,
         "n_convs": len(convs),
