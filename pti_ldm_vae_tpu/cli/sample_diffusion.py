@@ -19,6 +19,7 @@ from ..checkpoint.orbax_io import load_pytree
 from ..config import load_config, resolve_bool
 from ..data.factory import create_vae_inference_dataloader
 from ..data.io import write_png, write_tif
+from ..ops.norm import DEFAULT_NORM_STATS
 from ..models.unet import ConditionProjector, diffusion_unet_from_config
 from ..train.diffusion import NoiseSchedule, ddim_sample
 from ..utils.cli_common import init_device_and_seed
@@ -65,7 +66,7 @@ def main(argv=None) -> Path:
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
         remat=resolve_bool(cfg.get("remat", cfg["diffusion_def"].get("remat", False))),
-        norm_stats=str(cfg.get("norm_stats", "two_pass")),
+        norm_stats=str(cfg.get("norm_stats", DEFAULT_NORM_STATS)),
     )
     with_cond = cfg["diffusion_def"].get("with_conditioning", True)
     latent_ch = cfg["diffusion_def"]["in_channels"]

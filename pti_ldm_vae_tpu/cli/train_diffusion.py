@@ -20,6 +20,7 @@ import optax
 from ..checkpoint.orbax_io import save_pytree
 from ..config import load_config, resolve_bool
 from ..data.factory import create_vae_inference_dataloader
+from ..ops.norm import DEFAULT_NORM_STATS
 from ..models.unet import ConditionProjector, diffusion_unet_from_config
 from ..parallel.mesh import make_mesh, place_batch
 from ..train.diffusion import NoiseSchedule, add_noise
@@ -68,7 +69,7 @@ def main(argv=None) -> dict:
     # as the VAE's), a legacy diffusion_def-level key, or the --remat flag.
     remat = bool(args.remat) or resolve_bool(
         cfg.get("remat", cfg["diffusion_def"].get("remat", False)))
-    norm_stats = str(cfg.get("norm_stats", "two_pass"))
+    norm_stats = str(cfg.get("norm_stats", DEFAULT_NORM_STATS))
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,

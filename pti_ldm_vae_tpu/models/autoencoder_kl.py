@@ -39,7 +39,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.norm import group_norm, group_norm_silu
+from ..ops.norm import DEFAULT_NORM_STATS, group_norm, group_norm_silu
 from ..ops.resize import upsample_nearest_2x
 
 __all__ = ["AutoencoderKL", "autoencoder_from_config"]
@@ -55,7 +55,7 @@ class GroupNormOp(nn.Module):
     eps: float
     silu: bool = False
     use_pallas: bool = False
-    norm_stats: str = "two_pass"  # "one_pass": single-HBM-pass moments (ops/norm.py)
+    norm_stats: str = DEFAULT_NORM_STATS  # "one_pass": single-HBM-pass moments (ops/norm.py)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -82,7 +82,7 @@ class ResBlock(nn.Module):
     norm_num_groups: int
     norm_eps: float
     use_pallas: bool = False
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -125,7 +125,7 @@ class SpatialAttentionBlock(nn.Module):
     norm_eps: float
     num_head_channels: int | None = None
     use_pallas: bool = False  # Pallas flash-attention kernel (the measured win)
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -188,7 +188,7 @@ class Encoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -253,7 +253,7 @@ class Decoder(nn.Module):
     with_nonlocal_attn: bool
     use_pallas: bool = False
     use_pallas_attention: bool = False
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -343,7 +343,7 @@ class AutoencoderKL(nn.Module):
     # "one_pass" computes mean/E[x^2] in one fused HBM pass instead of the
     # sequential mean-then-centered-variance pair — the train step is
     # reduce-traffic bound off the conv floor (tools/train_step_hbm_model.py).
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     # Activation checkpointing (config key "remat"): recompute each
     # ResBlock/attention block's internals in the backward instead of
     # storing them — trades ~one extra forward through the blocks for the
@@ -463,7 +463,7 @@ def autoencoder_from_config(
     *,
     use_pallas: bool = False,
     use_pallas_attention: bool | None = None,
-    norm_stats: str = "two_pass",
+    norm_stats: str = DEFAULT_NORM_STATS,
     remat: bool = False,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:

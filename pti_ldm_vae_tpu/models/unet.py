@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import multi_head_attention
-from ..ops.norm import group_norm, group_norm_silu
+from ..ops.norm import DEFAULT_NORM_STATS, group_norm, group_norm_silu
 from ..ops.resize import upsample_nearest_2x
 
 __all__ = [
@@ -56,7 +56,7 @@ class TimeResBlock(nn.Module):
     out_channels: int
     norm_num_groups: int
     norm_eps: float = 1e-6
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -140,7 +140,7 @@ class SpatialTransformer(nn.Module):
     num_heads: int
     norm_num_groups: int
     norm_eps: float = 1e-6
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     cross_attention_dim: int | None = None
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
@@ -182,7 +182,7 @@ class DiffusionUNet(nn.Module):
     # GroupNorm statistics formulation (top-level config key "norm_stats",
     # same placement as "remat"; see ops/norm.py): "one_pass" fuses the
     # mean/E[x^2] reductions into one HBM read per norm.
-    norm_stats: str = "two_pass"
+    norm_stats: str = DEFAULT_NORM_STATS
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -321,7 +321,7 @@ def diffusion_unet_from_config(
     if remat is None:
         remat = bool(config.get("remat", False))
     if norm_stats is None:
-        norm_stats = str(config.get("norm_stats", "two_pass"))
+        norm_stats = str(config.get("norm_stats", DEFAULT_NORM_STATS))
     return DiffusionUNet(
         spatial_dims=config["spatial_dims"],
         in_channels=config["in_channels"],

@@ -16,6 +16,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from ._norm_default import DEFAULT_NORM_STATS
+
 __all__ = ["group_norm", "group_norm_silu", "instance_norm"]
 
 
@@ -26,7 +28,7 @@ def group_norm(
     *,
     num_groups: int,
     eps: float = 1e-6,
-    stats: str = "two_pass",
+    stats: str = DEFAULT_NORM_STATS,
 ) -> jnp.ndarray:
     """GroupNorm over channel-last input of any spatial rank (N..C);
     statistics in f32 regardless of input dtype.
@@ -71,7 +73,7 @@ def group_norm_silu(
     num_groups: int,
     eps: float = 1e-6,
     use_pallas: bool = False,
-    stats: str = "two_pass",
+    stats: str = DEFAULT_NORM_STATS,
 ) -> jnp.ndarray:
     """Fused GroupNorm + SiLU. ``use_pallas=True`` selects the Pallas TPU kernel
     (4-D NHWC only; other ranks use the XLA formulation); ``stats`` selects the

@@ -31,6 +31,7 @@ from ..data.factory import create_vae_dataloaders
 from ..data.io import write_tif
 from ..losses.ar_vae import make_ar_vae_spec
 from ..losses.composite import compute_total_loss
+from ..ops.norm import DEFAULT_NORM_STATS
 from ..models.autoencoder_kl import autoencoder_from_config
 from ..models.discriminator import PatchDiscriminator
 from ..models.lpips import load_lpips_params
@@ -193,7 +194,7 @@ class VAETrainer:
             cfg["autoencoder_def"], compute_dtype=compute_dtype,
             use_pallas_attention=use_pallas_attention,
             remat=resolve_bool(cfg.get("remat", False)),
-            norm_stats=str(cfg.get("norm_stats", "two_pass")),
+            norm_stats=str(cfg.get("norm_stats", DEFAULT_NORM_STATS)),
         )
         init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
         dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)

@@ -20,6 +20,7 @@ import jax.numpy as jnp
 from ..checkpoint.orbax_io import load_pytree
 from ..checkpoint.torch_convert import from_torch_state_dict
 from ..config import load_config, load_config_namespace
+from ..ops.norm import DEFAULT_NORM_STATS
 from ..models.autoencoder_kl import AutoencoderKL, autoencoder_from_config
 
 __all__ = [
@@ -77,8 +78,8 @@ def load_vae_model(
     # top-level "norm_stats" extension key ("one_pass": single-HBM-pass
     # GroupNorm moments; see ops/norm.py) — same placement as "remat".
     norm_stats = str(
-        getattr(config, "norm_stats", "two_pass") if hasattr(config, "autoencoder_def")
-        else config.get("norm_stats", "two_pass")
+        getattr(config, "norm_stats", DEFAULT_NORM_STATS) if hasattr(config, "autoencoder_def")
+        else config.get("norm_stats", DEFAULT_NORM_STATS)
     )
     model = autoencoder_from_config(
         ae_def, compute_dtype=compute_dtype,

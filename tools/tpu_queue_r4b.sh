@@ -43,6 +43,11 @@ run_job() {  # name logfile cmd...
 
 run_job norm_stats /tmp/r4qb_norm.log timeout 5400 python tools/run_norm_stats_ab.py
 
+# Flip the shipped default to one_pass only on a clean measured win at both
+# batches (the script re-runs the numerics tests and commits; no-ops
+# otherwise — see tools/flip_norm_stats_default.py).
+python tools/flip_norm_stats_default.py --log /tmp/r4qb_norm.log || true
+
 # Persist stage-A and stage-B JSON rows (logs die with the box; docs/ is
 # committed by the end-of-round snapshot).
 grep -h '^{' /tmp/r4qb_norm.log  > docs/norm_stats_ab_v5e.jsonl 2>/dev/null
