@@ -507,8 +507,14 @@ _PROBE_CODE = "import jax; print(jax.default_backend())"
 
 
 def _unavailable_record(detail: str) -> dict:
-    """The driver-parseable error record for a dead/unreachable backend."""
-    return {
+    """The driver-parseable error record for a dead/unreachable backend.
+
+    ``value`` stays 0.0 — nothing was measured this round. For
+    diagnosability the record carries the newest previously-recorded
+    hardware headline (from the committed ``BENCH_r*.json`` driver
+    artifacts), clearly marked as NOT measured now.
+    """
+    rec = {
         "metric": "vae_train_step_throughput_256px_b8",
         "value": 0.0,
         "unit": "imgs/s",
@@ -516,6 +522,28 @@ def _unavailable_record(detail: str) -> dict:
         "probe_error": "tpu_backend_unavailable",
         "detail": detail,
     }
+    try:
+        import glob
+
+        here = os.path.dirname(os.path.abspath(__file__))
+        for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
+                           reverse=True):
+            with open(path, encoding="utf-8") as fh:
+                parsed = (json.load(fh) or {}).get("parsed") or {}
+            if parsed.get("value"):
+                rec["last_recorded"] = {
+                    "round_artifact": os.path.basename(path),
+                    "measured_this_round": False,
+                    "metric": parsed.get("metric"),
+                    "value": parsed.get("value"),
+                    "unit": parsed.get("unit"),
+                    "vs_baseline": parsed.get("vs_baseline"),
+                    "hardware": parsed.get("hardware"),
+                }
+                break
+    except Exception:
+        pass  # best-effort context; the error record stands alone
+    return rec
 
 
 def _probe_backend_subprocess(timeout_s: float):

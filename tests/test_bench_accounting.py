@@ -232,6 +232,10 @@ def test_bench_dead_backend_emits_structured_json():
     assert rec["probe_error"] == "tpu_backend_unavailable"
     assert rec["metric"] == "vae_train_step_throughput_256px_b8"
     assert rec["value"] == 0.0
+    # context: the newest recorded hardware headline rides along, clearly
+    # marked as not measured this round
+    assert rec["last_recorded"]["measured_this_round"] is False
+    assert rec["last_recorded"]["value"] > 0
     # the bounded retry fired once (logged to stderr)
     assert "retrying in" in proc.stderr
 

@@ -41,6 +41,13 @@ JSON) + nonconv_bytes / HBM_BW, assuming no overlap between fusions' HBM
 traffic (the serial-roofline convention; real overlap would only shrink
 the non-conv term).
 
+Known deliberate mismatch vs the real TPU program: the model lowers with
+use_pallas_attention resolved on CPU (False), so the bottleneck attention
+appears as XLA softmax (its score-matrix reduces are priced); on TPU the
+Pallas flash kernel handles those with no HBM score traffic. The model
+therefore slightly OVERESTIMATES the TPU step (~2% at b128) — conservative
+in the direction that keeps "measured <= predicted" meaningful.
+
 Usage:
     python tools/train_step_hbm_model.py --batch 128 \
         --floor-json docs/conv_roofline_v5e_train_b128.json \
