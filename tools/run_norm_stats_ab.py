@@ -47,3 +47,16 @@ for stats in ("two_pass", "one_pass"):
         except Exception as exc:
             print(f"# train norm_stats={stats} b{b} FAILED: {type(exc).__name__}: "
                   f"{str(exc)[:300]}", flush=True)
+
+    # inference context row (already at ~101% of conv floor with two_pass;
+    # records whether one_pass moves the deterministic encode+decode at all)
+    try:
+        params_g = jax.jit(model.init)(
+            jax.random.key(0), jnp.zeros((1, bench.HW, bench.HW, 1), jnp.float32),
+            jax.random.key(1))
+        res = bench.bench_inference(model, params_g, 128, peak_tf, peak_bw)
+        print(json.dumps({"row": "inference", "norm_stats": stats, "batch": 128, **res}),
+              flush=True)
+    except Exception as exc:
+        print(f"# inference norm_stats={stats} b128 FAILED: {type(exc).__name__}: "
+              f"{str(exc)[:300]}", flush=True)
