@@ -528,8 +528,11 @@ def _unavailable_record(detail: str) -> dict:
         here = os.path.dirname(os.path.abspath(__file__))
         for path in sorted(glob.glob(os.path.join(here, "BENCH_r*.json")),
                            reverse=True):
-            with open(path, encoding="utf-8") as fh:
-                parsed = (json.load(fh) or {}).get("parsed") or {}
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    parsed = (json.load(fh) or {}).get("parsed") or {}
+            except Exception:
+                continue  # a truncated artifact must not hide older ones
             if parsed.get("value"):
                 rec["last_recorded"] = {
                     "round_artifact": os.path.basename(path),
@@ -636,9 +639,10 @@ def _resolve_backend():
     for attempt in range(retries + 1):
         platform, err = _probe_backend_subprocess(timeout_s)
         if platform is not None:
-            # Short settle: the tunnel transiently refuses new backends right
-            # after a client (the probe) exits.
-            time.sleep(2.0)
+            if platform != "cpu":
+                # Short settle: the tunnel transiently refuses new backends
+                # right after a client (the probe) exits.
+                time.sleep(2.0)
             platform, err = _init_backend_watchdogged(timeout_s)
             if platform is not None:
                 return platform, None

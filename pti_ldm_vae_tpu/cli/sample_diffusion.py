@@ -66,7 +66,8 @@ def main(argv=None) -> Path:
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,
         remat=resolve_bool(cfg.get("remat", cfg["diffusion_def"].get("remat", False))),
-        norm_stats=str(cfg.get("norm_stats", DEFAULT_NORM_STATS)),
+        norm_stats=str(cfg.get(
+            "norm_stats", cfg["diffusion_def"].get("norm_stats", DEFAULT_NORM_STATS))),
     )
     with_cond = cfg["diffusion_def"].get("with_conditioning", True)
     latent_ch = cfg["diffusion_def"]["in_channels"]

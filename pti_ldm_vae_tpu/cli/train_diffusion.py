@@ -69,7 +69,8 @@ def main(argv=None) -> dict:
     # as the VAE's), a legacy diffusion_def-level key, or the --remat flag.
     remat = bool(args.remat) or resolve_bool(
         cfg.get("remat", cfg["diffusion_def"].get("remat", False)))
-    norm_stats = str(cfg.get("norm_stats", DEFAULT_NORM_STATS))
+    norm_stats = str(cfg.get(
+        "norm_stats", cfg["diffusion_def"].get("norm_stats", DEFAULT_NORM_STATS)))
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
         compute_dtype=jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32,

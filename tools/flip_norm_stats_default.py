@@ -66,6 +66,14 @@ def main(argv=None) -> int:
         if not two or not one:
             print(f"no flip: missing A/B row at b{b}")
             return 0
+        for rec in (two, one):
+            if rec.get("platform") != "tpu":
+                # a CPU-fallback measurement must never flip the shipped
+                # default (rows without the field predate the platform
+                # stamp and are equally untrusted)
+                print(f"no flip: b{b} row not measured on TPU "
+                      f"(platform={rec.get('platform')!r})")
+                return 0
         t2, t1 = throughput(two), throughput(one)
         if not t2 or not t1:
             print(f"no flip: no throughput field at b{b}: {two} / {one}")
@@ -88,23 +96,29 @@ def main(argv=None) -> int:
     if args.dry_run:
         print("dry run: would flip the default to one_pass")
         return 0
-    src = src.replace('DEFAULT_NORM_STATS = "two_pass"',
-                      'DEFAULT_NORM_STATS = "one_pass"')
+    flipped = src.replace('DEFAULT_NORM_STATS = "two_pass"',
+                          'DEFAULT_NORM_STATS = "one_pass"')
     with open(DEFAULT_FILE, "w", encoding="utf-8") as fh:
-        fh.write(src)
+        fh.write(flipped)
 
-    # numerics gate before committing the flip
-    test = subprocess.run(
-        [sys.executable, "-m", "pytest", "tests/test_ops.py",
-         "tests/test_hbm_model_tool.py", "-q"],
-        cwd=REPO, capture_output=True, text=True, timeout=3600,
-    )
-    if test.returncode != 0:
-        # revert — a default that fails numerics tests must not ship
+    # numerics gate before committing the flip; ANY failure mode of the
+    # gate itself (timeout, missing pytest, signal) must also revert — an
+    # un-gated default flip must never survive this script
+    try:
+        test = subprocess.run(
+            [sys.executable, "-m", "pytest", "tests/test_ops.py",
+             "tests/test_hbm_model_tool.py", "-q"],
+            cwd=REPO, capture_output=True, text=True, timeout=3600,
+        )
+        gate_ok = test.returncode == 0
+        gate_detail = test.stdout[-1000:]
+    except BaseException as exc:  # noqa: BLE001 — revert on anything
+        gate_ok = False
+        gate_detail = f"{type(exc).__name__}: {exc}"
+    if not gate_ok:
         with open(DEFAULT_FILE, "w", encoding="utf-8") as fh:
-            fh.write(src.replace('DEFAULT_NORM_STATS = "one_pass"',
-                                 'DEFAULT_NORM_STATS = "two_pass"'))
-        print(f"no flip: numerics tests failed\n{test.stdout[-1000:]}")
+            fh.write(src)  # the original two_pass content
+        print(f"no flip: numerics gate did not pass\n{gate_detail}")
         return 1
 
     detail = "; ".join(

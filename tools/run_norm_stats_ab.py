@@ -13,13 +13,23 @@ import json
 import sys
 
 sys.path.insert(0, "/root/repo")
+import bench
+
+# Hang-proof first backend touch (the relay flaps right after the queue's
+# probe client exits — an unguarded in-process dial can hang for the job's
+# whole outer timeout). Non-zero exit lets the queue's retry re-gate.
+_platform, _backend_err = bench._resolve_backend()
+if _platform is None:
+    print(json.dumps({"row": "error", "probe_error": "tpu_backend_unavailable",
+                      "detail": _backend_err}))
+    sys.exit(3)
+
 import jax
 import jax.numpy as jnp
 
-import bench
-
-if jax.default_backend() == "tpu":
+if _platform == "tpu":
     bench.enable_tpu_compile_cache()
+_hardware = jax.devices()[0].device_kind
 from __graft_entry__ import FLAGSHIP_CONFIG as config
 from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
 from pti_ldm_vae_tpu.models.lpips import init_lpips_params
@@ -42,8 +52,9 @@ for stats in ("two_pass", "one_pass"):
     for b in (8, 128):
         try:
             res = bench.bench_train(model, lpips_params, make_step, b, peak_tf, peak_bw)
-            print(json.dumps({"row": "train", "norm_stats": stats, "batch": b, **res}),
-                  flush=True)
+            print(json.dumps({"row": "train", "norm_stats": stats, "batch": b,
+                              "platform": _platform, "hardware": _hardware,
+                              **res}), flush=True)
         except Exception as exc:
             print(f"# train norm_stats={stats} b{b} FAILED: {type(exc).__name__}: "
                   f"{str(exc)[:300]}", flush=True)
@@ -55,8 +66,9 @@ for stats in ("two_pass", "one_pass"):
             jax.random.key(0), jnp.zeros((1, bench.HW, bench.HW, 1), jnp.float32),
             jax.random.key(1))
         res = bench.bench_inference(model, params_g, 128, peak_tf, peak_bw)
-        print(json.dumps({"row": "inference", "norm_stats": stats, "batch": 128, **res}),
-              flush=True)
+        print(json.dumps({"row": "inference", "norm_stats": stats, "batch": 128,
+                          "platform": _platform, "hardware": _hardware,
+                          **res}), flush=True)
     except Exception as exc:
         print(f"# inference norm_stats={stats} b128 FAILED: {type(exc).__name__}: "
               f"{str(exc)[:300]}", flush=True)

@@ -10,9 +10,13 @@ cd /root/repo
 export PYTHONPATH=/root/repo:/root/.axon_site
 
 # Wait for stage A to drain (never run two TPU clients concurrently).
+# Check the cmdline too: a recycled PID must not wedge the wait forever.
 if [ -f /tmp/r4q.pid ]; then
   A=$(cat /tmp/r4q.pid)
-  while kill -0 "$A" 2>/dev/null; do sleep 60; done
+  while kill -0 "$A" 2>/dev/null \
+        && ps -p "$A" -o cmd= 2>/dev/null | grep -q tpu_queue_r4.sh; do
+    sleep 60
+  done
   echo "stage A (pid $A) drained at $(date)"
 fi
 

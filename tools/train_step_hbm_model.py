@@ -231,8 +231,6 @@ def main(argv=None) -> int:
                     help="HBM bandwidth (default: v5e 819 GB/s)")
     ap.add_argument("--peak-tflops", type=float, default=197.0,
                     help="bf16 MXU peak (default: v5e 197)")
-    ap.add_argument("--tpu-dtypes", action="store_true", default=True,
-                    help="lower with bf16 compute dtype (as the TPU run does)")
     ap.add_argument("--norm-stats", choices=("two_pass", "one_pass"),
                     default="two_pass",
                     help="model the step with this GroupNorm stats "
