@@ -47,6 +47,21 @@ def enable_tpu_compile_cache() -> None:
     jax.config.update("jax_compilation_cache_dir", _CACHE)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
+def setup_platform() -> bool:
+    """Shared measurement-tool boilerplate (run_pti_probe /
+    train_step_itemize / run_remat_ab / norm-stats A/B): enable the TPU-only
+    persistent compile cache on TPU, or shrink the iteration counts for CPU
+    smoke runs. Returns ``on_tpu``. One place so the cache-gating and
+    smoke-size policies cannot diverge across tools again."""
+    global ITERS, WINDOWS
+    on_tpu = jax.default_backend() == "tpu"
+    if on_tpu:
+        enable_tpu_compile_cache()
+    else:
+        ITERS, WINDOWS = 2, 1
+    return on_tpu
+
+
 BASELINE_IMGS_PER_SEC = 15.0
 BATCH = 8
 HW = 256

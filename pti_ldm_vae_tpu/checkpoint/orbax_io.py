@@ -21,6 +21,7 @@ import json
 import os
 import queue
 import shutil
+import sys
 import threading
 from typing import Any, Callable
 
@@ -61,18 +62,22 @@ def save_pytree(path: str, tree: Any) -> None:
     tree = fetch_to_host(tree)
     # Write to a sibling tmp dir first, swap in only once complete: a crash
     # mid-write leaves the previous checkpoint intact instead of a
-    # half-written directory.  The swap itself is two renames (old -> .old,
-    # tmp -> path) so there is no window where NO checkpoint exists at
-    # ``path`` — a crash between them leaves the data at ``.old``, which the
-    # next save clears.  (A plain rmtree-then-rename had exactly that
-    # destructive window.)
+    # half-written directory.  The swap is two renames (path -> .old,
+    # tmp -> path); a crash exactly between them leaves no dir at ``path``
+    # but the full data at ``.old`` — recoverable, unlike the plain
+    # rmtree-then-rename this replaced (which could destroy the only copy).
+    # A stale ``.old`` from such a crash is therefore deleted only AFTER
+    # the new tmp write has fully succeeded: until then it may be the only
+    # surviving checkpoint, and removing it first would reintroduce the
+    # all-copies-gone window on a second failure mid-write.
     tmp = path + ".tmp"
     old = path + ".old"
-    for stale in (tmp, old):
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # torn tmp from a crashed write: never the only copy
     with ocp.PyTreeCheckpointer() as ckptr:
         ckptr.save(tmp, tree)
+    if os.path.exists(old):
+        shutil.rmtree(old)  # safe now: tmp holds a complete new checkpoint
     had_prev = os.path.exists(path)
     if had_prev:
         os.rename(path, old)
@@ -171,13 +176,27 @@ class CheckpointManager:
     def __init__(self, model_dir: str):
         self.model_dir = os.path.abspath(model_dir)
         os.makedirs(self.model_dir, exist_ok=True)
-        # A fresh manager owns the dir: a sentinel from a previous crashed
-        # run is stale once a new run (or a resume) takes over.
-        stale = os.path.join(self.model_dir, "CHECKPOINT_WRITE_FAILED")
-        if os.path.exists(stale):
-            os.remove(stale)
+        # A sentinel from a previous run means its last best/last write
+        # FAILED (disk full, crash): the on-disk checkpoints may be stale.
+        # Deleting it here would destroy the marker before any resume logic
+        # could see it, so it is only surfaced loudly; it is cleared when a
+        # NEW checkpoint write succeeds (_clear_sentinel from save paths).
+        self._sentinel = os.path.join(self.model_dir, "CHECKPOINT_WRITE_FAILED")
+        if os.path.exists(self._sentinel):
+            print(
+                f"[WARN] {self._sentinel} exists: the previous run's final "
+                f"checkpoint write FAILED — on-disk best/last may be stale. "
+                f"The marker clears on the next successful write.",
+                file=sys.stderr, flush=True,
+            )
         self.best_epoch_saved: int | None = None
         self._writer = _AsyncWriter(sentinel_dir=self.model_dir)
+
+    def _clear_sentinel(self) -> None:
+        try:
+            os.remove(self._sentinel)
+        except FileNotFoundError:
+            pass
 
     def wait(self) -> None:
         """Drain pending background checkpoint writes (call before exit or
@@ -216,6 +235,8 @@ class CheckpointManager:
                 save_pytree(
                     os.path.join(self.model_dir, "discriminator_last"), host["params_d"]
                 )
+            # a successful fresh write supersedes any stale failure marker
+            self._clear_sentinel()
 
         self._writer.submit(write_last)
         if not improved:

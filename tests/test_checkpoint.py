@@ -273,6 +273,11 @@ def test_async_writer_failure_sentinel(tmp_path):
     assert os.path.exists(sentinel)
     assert "disk full" in open(sentinel, encoding="utf-8").read()
 
-    # a fresh manager over the same dir clears the stale sentinel
-    CheckpointManager(str(tmp_path))
+    # a fresh manager over the same dir PRESERVES the sentinel (deleting
+    # it at construction would destroy the marker before resume logic can
+    # see it — review finding r4) and warns loudly; a subsequent
+    # successful write clears it
+    mgr2 = CheckpointManager(str(tmp_path))
+    assert os.path.exists(sentinel)
+    mgr2._clear_sentinel()
     assert not os.path.exists(sentinel)

@@ -49,11 +49,16 @@ import numpy as np
 _CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu"
 )
-if jax.default_backend() == "tpu":
-    # persistent cache is TPU-only: foreign-host XLA:CPU AOT entries in the
-    # shared cache dir load with machine-feature mismatches (SIGILL risk)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _enable_cache_if_tpu() -> None:
+    """TPU-only persistent cache (foreign-host XLA:CPU AOT entries SIGILL),
+    called from main()/the probe child — NOT at import: jax.default_backend()
+    initializes the backend, and with the tunnel relay down that would make
+    even --help hang/stack-dump before argparse runs."""
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _CONV_RE = re.compile(
     r"stablehlo\.convolution\(.*?\)\s*"
@@ -500,6 +505,8 @@ def main() -> None:
     if args.probe_timeout is not None:
         global _PROBE_TIMEOUT_S
         _PROBE_TIMEOUT_S = args.probe_timeout
+
+    _enable_cache_if_tpu()
 
     if args.probe_spec:
         # child process of _probe_compile: compile (and once execute) the

@@ -32,11 +32,15 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 _CACHE = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu")
-if jax.default_backend() == "tpu":
-    # persistent cache is TPU-only: foreign-host XLA:CPU AOT entries in the
-    # shared cache dir load with machine-feature mismatches (SIGILL risk)
-    jax.config.update("jax_compilation_cache_dir", _CACHE)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def _enable_cache_if_tpu() -> None:
+    """TPU-only persistent cache, from main() — not at import (the first
+    jax.default_backend() call initializes the backend; with the relay down
+    even --help would hang before argparse)."""
+    if jax.default_backend() == "tpu":
+        jax.config.update("jax_compilation_cache_dir", _CACHE)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 ITERS = 30
 WINDOWS = 3
@@ -204,6 +208,7 @@ def main(argv=None) -> None:
     parser.add_argument("--batch", type=int, default=8)
     parser.add_argument("--only", choices=("groupnorm", "attention", "trainstep"), default=None)
     args = parser.parse_args(argv)
+    _enable_cache_if_tpu()
     ITERS, WINDOWS = args.iters, args.windows
     b = args.batch
 

@@ -29,6 +29,8 @@ import jax.numpy as jnp
 
 if _platform == "tpu":
     bench.enable_tpu_compile_cache()
+else:
+    bench.ITERS, bench.WINDOWS = 2, 1  # CPU smoke sizing (bench.setup_platform policy)
 _hardware = jax.devices()[0].device_kind
 from __graft_entry__ import FLAGSHIP_CONFIG as config
 from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config

@@ -35,11 +35,7 @@ def main(argv=None) -> int:
     ap.add_argument("--peak-bw", type=float, default=819.0)
     args = ap.parse_args(argv)
 
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        bench.enable_tpu_compile_cache()
-    else:
-        bench.ITERS, bench.WINDOWS = 2, 1
+    on_tpu = bench.setup_platform()
     model = autoencoder_from_config(
         FLAGSHIP_CONFIG,
         compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,

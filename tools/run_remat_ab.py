@@ -5,18 +5,18 @@ B: remat=True at b128 (the remat tax), then b192/b256 (batches whose
    stored-activation backward OOM'd in round 2).
 """
 import json
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import jax
 import jax.numpy as jnp
 
-import jax as _jax
-
 import bench
 
-if _jax.default_backend() == "tpu":
-    bench.enable_tpu_compile_cache()
+bench.setup_platform()
+n_ok = 0
+n_failed = 0
 from __graft_entry__ import FLAGSHIP_CONFIG as config
 from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
 from pti_ldm_vae_tpu.models.lpips import init_lpips_params
@@ -41,7 +41,13 @@ for remat in (False, True):
             res = bench.bench_train(model, lpips_params, make_step, b, peak_tf, peak_bw)
             print(json.dumps({"row": "train", "remat": remat, "batch": b, **res}),
                   flush=True)
+            n_ok += 1
         except Exception as exc:
+            # capacity failures at the probe batches are expected findings
+            # (b192/b256 were chosen BECAUSE they OOM'd without remat);
+            # anything else is a real failure the queue must retry
+            if not bench._is_memory_failure(exc):
+                n_failed += 1
             print(f"# train remat={remat} b{b} FAILED: {type(exc).__name__}: "
                   f"{str(exc)[:300]}", flush=True)
 
@@ -55,6 +61,13 @@ for b in (64, 128):
     try:
         res = bench.bench_pti(model_r, params, peak_tf=peak_tf, peak_bw=peak_bw, batch=b)
         print(json.dumps({"row": "pti", "remat": True, "batch": b, **res}), flush=True)
+        n_ok += 1
     except Exception as exc:
+        if not bench._is_memory_failure(exc):
+            n_failed += 1
         print(f"# pti remat b{b} FAILED: {type(exc).__name__}: {str(exc)[:300]}",
               flush=True)
+
+# rc=1 when real (non-capacity) failures occurred or nothing measured, so
+# the queue's rc-based retry actually fires (run_pti_probe's convention)
+sys.exit(1 if (n_failed or not n_ok) else 0)

@@ -27,7 +27,6 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 _CACHE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".jax_cache_tpu"
 )
-os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", _CACHE)
 
 
 def main(argv=None) -> None:

@@ -73,11 +73,7 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None, help="write results here too")
     args = ap.parse_args(argv)
 
-    on_tpu = jax.default_backend() == "tpu"
-    if on_tpu:
-        bench.enable_tpu_compile_cache()
-    else:
-        bench.ITERS, bench.WINDOWS = 2, 1
+    on_tpu = bench.setup_platform()
     hw = args.hw or (32 if args.tiny else bench.HW)
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
 
