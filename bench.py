@@ -270,11 +270,14 @@ def bench_inference(model, params_g, batch: int, peak_tf, peak_bw) -> dict:
     return _stats(times, ITERS, batch, flops, bytes_acc, peak_tf, peak_bw)
 
 
-def _flagship_ldm():
+def _flagship_ldm(compute_dtype=None):
     """The shipped flagship LDM: UNet built from ``config/ldm_dente.json``
     (NOT a default constructor) + 32²-latent cross-attention conditioning
     (1024 context tokens — the reference conditioning recipe projects the
-    full conditioning latent, ``models/README.md:113-126``)."""
+    full conditioning latent, ``models/README.md:113-126``).
+
+    ``compute_dtype=None`` picks by backend (bf16 on TPU); pass a dtype to
+    force it (the HBM model lowers the bf16 TPU program on CPU)."""
     from pti_ldm_vae_tpu.config import load_config
     from pti_ldm_vae_tpu.models.unet import ConditionProjector, diffusion_unet_from_config
     from pti_ldm_vae_tpu.train.diffusion import NoiseSchedule
@@ -282,10 +285,12 @@ def _flagship_ldm():
     cfg = load_config(
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "config", "ldm_dente.json")
     )
-    on_tpu = jax.default_backend() == "tpu"
+    if compute_dtype is None:
+        compute_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32)
     unet = diffusion_unet_from_config(
         cfg["diffusion_def"],
-        compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        compute_dtype=compute_dtype,
     )
     schedule = NoiseSchedule.linear_beta(
         int(cfg["diffusion_train"].get("num_train_timesteps", 1000)),

@@ -154,6 +154,7 @@ def reduce_traffic(text: str) -> dict:
     """Reduce-pass HBM traffic: rooted lower bound + naive upper bound."""
     upper_in = 0
     lower_in = 0
+    attn_in = 0
     out_bytes = 0
     rows: dict[tuple, dict] = {}
     # SSA names repeat across func blocks (custom-vjp private funcs): build
@@ -186,7 +187,15 @@ def reduce_traffic(text: str) -> dict:
                     rspec = defs.get(r, (None, None, ""))[2]
                     root_bytes += _tensor_bytes(rspec)
                 g = groups.setdefault(frozenset(roots), {
-                    "root_bytes": root_bytes, "lowered_bytes": 0})
+                    "root_bytes": root_bytes, "lowered_bytes": 0,
+                    # softmax-over-scores reduces: root is a dot_general
+                    # output. On TPU these are inside the Pallas flash-
+                    # attention kernel (no HBM score traffic) for seq>=512,
+                    # so they are priced as their own category.
+                    "attn": any(
+                        defs.get(r, ("?", [], ""))[0] == "dot_general"
+                        for r in roots),
+                })
                 g["lowered_bytes"] += b
                 key = (spec,)
                 row = rows.setdefault(key, {"tensor": spec.strip(),
@@ -195,11 +204,15 @@ def reduce_traffic(text: str) -> dict:
             for spec in re.findall(r"tensor<[^>]*>", m.group("outs")):
                 out_bytes += _tensor_bytes(spec)
         for g in groups.values():
-            lower_in += (min(g["root_bytes"], g["lowered_bytes"])
-                         if g["root_bytes"] else g["lowered_bytes"])
+            cost = (min(g["root_bytes"], g["lowered_bytes"])
+                    if g["root_bytes"] else g["lowered_bytes"])
+            if g.get("attn"):
+                attn_in += cost
+            else:
+                lower_in += cost
     top = sorted(rows.values(), key=lambda r: -r["bytes_each"] * r["count"])
     return {"lower_in": lower_in, "upper_in": upper_in,
-            "out": out_bytes, "top": top[:12]}
+            "attn_in": attn_in, "out": out_bytes, "top": top[:12]}
 
 
 def dot_flops(text: str) -> float:
@@ -224,8 +237,89 @@ def conv_boundary_bytes(convs: list[dict]) -> int:
     return total
 
 
+def _lower_train(batch: int, norm_stats: str):
+    """Lowered flagship train step (bf16, the TPU program) + param tree."""
+    import jax
+    import jax.numpy as jnp
+
+    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
+    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.train.state import create_train_state
+    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
+    from __graft_entry__ import FLAGSHIP_CONFIG
+
+    model = autoencoder_from_config(
+        FLAGSHIP_CONFIG, compute_dtype=jnp.bfloat16, norm_stats=norm_stats)
+    rng = np.random.default_rng(0)
+    images = jnp.asarray(
+        rng.uniform(0.1, 1.0, size=(batch, 256, 256, 1)).astype(np.float32))
+    mask = jnp.ones((batch,), jnp.float32)
+    params_g = jax.eval_shape(
+        lambda: model.init(jax.random.key(0), images[:1], jax.random.key(1)))
+    params_g = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params_g)
+    state = create_train_state(params_g, lr=2.5e-5)
+    lpips_params = init_lpips_params()
+    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
+                      adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True)
+    step = make_train_step(model, None, lcfg, adv_active=False, donate=False)
+    lowered = step.lower(state, images, mask, {}, lpips_params, jax.random.key(2))
+    return lowered.as_text(), params_g, 1
+
+
+def _lower_ddim(batch: int, norm_stats: str):
+    """Lowered flagship DDIM sample (bf16 forced — the TPU program).
+
+    The scan body appears ONCE in the lowering (XLA regions), so every
+    per-category byte/flop total is scaled by ``num_inference_steps`` — the
+    same multiplier ``tools/conv_roofline.py build_ddim`` applies to conv
+    counts (out-of-body work is the schedule/projector setup, negligible).
+    Root-tracing stops at the while-body block arguments (conservative:
+    those reduces price at lowered width).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from pti_ldm_vae_tpu.train.diffusion import ddim_sample
+
+    unet, projector, schedule, lhw, lch, num_steps = bench_mod._flagship_ldm(
+        compute_dtype=jnp.bfloat16)
+    if norm_stats != "two_pass":
+        # rebuild with the requested stats formulation
+        from pti_ldm_vae_tpu.config import load_config
+        from pti_ldm_vae_tpu.models.unet import diffusion_unet_from_config
+
+        cfg = load_config(os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "config", "ldm_dente.json"))
+        unet = diffusion_unet_from_config(
+            cfg["diffusion_def"], compute_dtype=jnp.bfloat16,
+            norm_stats=norm_stats)
+    latent_shape = (batch, lhw, lhw, lch)
+    rng = np.random.default_rng(4)
+    cond_tokens = jnp.asarray(
+        rng.standard_normal((batch, lhw * lhw, lch)).astype(np.float32))
+    proj_params = jax.eval_shape(
+        lambda: projector.init(jax.random.key(5), cond_tokens))
+    proj_params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), proj_params)
+    context = jax.eval_shape(lambda: projector.apply(proj_params, cond_tokens))
+    context = jnp.zeros(context.shape, context.dtype)
+    params = jax.eval_shape(lambda: unet.init(
+        jax.random.key(0), jnp.zeros(latent_shape),
+        jnp.zeros((batch,), jnp.int32), context))
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    sample = jax.jit(
+        lambda p, ctx, key: ddim_sample(
+            unet.apply, p, schedule, latent_shape, key,
+            num_inference_steps=num_steps, context=ctx,
+        ))
+    lowered = sample.lower(params, context, jax.random.key(1))
+    return lowered.as_text(), None, num_steps
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--mode", choices=("train", "ddim"), default="train")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--bw-gbps", type=float, default=819.0,
                     help="HBM bandwidth (default: v5e 819 GB/s)")
@@ -242,56 +336,60 @@ def main(argv=None) -> int:
     ap.add_argument("--json", default=None)
     args = ap.parse_args(argv)
 
-    import jax.numpy as jnp
+    import jax
 
     from tools.conv_roofline import parse_convs
-    from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
-    from pti_ldm_vae_tpu.models.lpips import init_lpips_params
-    from pti_ldm_vae_tpu.train.state import create_train_state
-    from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
-    from __graft_entry__ import FLAGSHIP_CONFIG
-
-    import jax
 
     # Lower EXACTLY what the TPU run lowers (bf16 compute dtype): lowering is
     # platform-independent, so the analysis of the TPU program runs on CPU.
-    model = autoencoder_from_config(
-        FLAGSHIP_CONFIG, compute_dtype=jnp.bfloat16, norm_stats=args.norm_stats)
-    rng = np.random.default_rng(0)
-    images = jnp.asarray(
-        rng.uniform(0.1, 1.0, size=(args.batch, 256, 256, 1)).astype(np.float32))
-    mask = jnp.ones((args.batch,), jnp.float32)
-    params_g = jax.eval_shape(
-        lambda: model.init(jax.random.key(0), images[:1], jax.random.key(1)))
-    params_g = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params_g)
-    state = create_train_state(params_g, lr=2.5e-5)
-    lpips_params = init_lpips_params()
-    lcfg = LossConfig(recon_loss="l1", kl_weight=1e-3, perceptual_weight=1.0,
-                      adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True)
-    step = make_train_step(model, None, lcfg, adv_active=False, donate=False)
-    lowered = step.lower(state, images, mask, {}, lpips_params, jax.random.key(2))
-    text = lowered.as_text()
+    if args.mode == "train":
+        text, params_g, body_mult = _lower_train(args.batch, args.norm_stats)
+    else:
+        text, params_g, body_mult = _lower_ddim(args.batch, args.norm_stats)
 
     convs = parse_convs(text)
     red = reduce_traffic(text)
-    red_in, red_out, red_top = red["lower_in"], red["out"], red["top"]
-    boundary = conv_boundary_bytes(convs)
-    param_bytes = sum(
-        int(np.prod(x.shape)) * x.dtype.itemsize
-        for x in jax.tree.leaves(params_g))
-    optimizer = 6 * param_bytes  # read p/m/v + write p/m/v (f32)
-    dots = dot_flops(text)
+    red_in = red["lower_in"] * body_mult
+    red_attn = red["attn_in"] * body_mult
+    red_out = red["out"] * body_mult
+    red_upper = red["upper_in"] * body_mult
+    red_top = red["top"]
+    boundary = conv_boundary_bytes(convs) * body_mult
+    if params_g is not None:
+        param_bytes = sum(
+            int(np.prod(x.shape)) * x.dtype.itemsize
+            for x in jax.tree.leaves(params_g))
+        optimizer = 6 * param_bytes  # read p/m/v + write p/m/v (f32)
+    else:
+        param_bytes = 0
+        optimizer = 0  # sampler: no optimizer sweep
+    dots = dot_flops(text) * body_mult
 
     bw = args.bw_gbps * 1e9
     cats_ms = {
         "conv_boundary_ms": boundary / bw * 1e3,
         "reduce_ms": (red_in + red_out) / bw * 1e3,
+        # XLA-lowering-only: Pallas flash attention owns these on TPU at
+        # seq>=512 (bottleneck + UNet high-res levels) with zero HBM score
+        # traffic — kept separate so the TPU prediction can exclude them.
+        "attention_softmax_xla_only_ms": red_attn / bw * 1e3,
         "optimizer_ms": optimizer / bw * 1e3,
         "dot_mxu_ms": dots / (args.peak_tflops * 1e12) * 1e3,
     }
-    nonconv_ms = sum(cats_ms.values())
+    # TPU prediction: attention-softmax reduces excluded (Pallas kernel)
+    nonconv_ms = sum(v for k, v in cats_ms.items()
+                     if k != "attention_softmax_xla_only_ms")
 
     result = {
+        "mode": args.mode,
+        "body_mult": body_mult,
+        "note": (
+            "predicted_nonconv_ms excludes attention_softmax_xla_only_ms: "
+            "on TPU the Pallas flash kernel owns those reduces for "
+            "q-seq>=512. Programs with shorter attention sequences (the "
+            "LDM UNet's mid/low levels) keep part of that cost, so the "
+            "true TPU value lies between predicted_nonconv_ms and "
+            "predicted_nonconv_ms + attention_softmax_xla_only_ms."),
         "batch": args.batch,
         "norm_stats": args.norm_stats,
         "model": "perfect-fusion HBM traffic bound (see tool docstring)",
@@ -300,15 +398,15 @@ def main(argv=None) -> int:
         "bytes": {
             "conv_boundary": boundary,
             "reduce_in_rooted": red_in,
-            "reduce_in_lowered_upper": red["upper_in"],
+            "reduce_in_attention_softmax": red_attn,
+            "reduce_in_lowered_upper": red_upper,
             "reduce_out": red_out,
             "optimizer": optimizer,
             "params": param_bytes,
         },
         "dot_gflops": round(dots / 1e9, 2),
         "categories_ms": {k: round(v, 2) for k, v in cats_ms.items()},
-        "reduce_ms_upper": round(
-            (red["upper_in"] + red_out) / bw * 1e3, 2),
+        "reduce_ms_upper": round((red_upper + red_out) / bw * 1e3, 2),
         "predicted_nonconv_ms": round(nonconv_ms, 2),
         "reduce_top_tensors": red_top,
     }
