@@ -11,6 +11,7 @@ from pathlib import Path
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
@@ -111,3 +112,23 @@ def test_one_pass_model_shrinks_reduce_traffic_on_the_vae():
     r2 = model2.apply(p, x, jax.random.key(3))
     r1 = model1.apply(p, x, jax.random.key(3))
     np.testing.assert_allclose(np.asarray(r1[0]), np.asarray(r2[0]), atol=5e-5)
+
+
+@pytest.mark.slow
+def test_ddim_mode_prices_the_sampler(tmp_path):
+    """--mode ddim lowers the flagship 50-step sampler and scales every
+    category by the body multiplier; attention-softmax reduces are priced
+    as their own XLA-only category (Pallas owns them on TPU)."""
+    import json
+
+    from tools.train_step_hbm_model import main
+
+    out = tmp_path / "ddim.json"
+    assert main(["--mode", "ddim", "--batch", "2", "--json", str(out)]) == 0
+    d = json.loads(out.read_text())
+    assert d["mode"] == "ddim"
+    assert d["body_mult"] == 50
+    assert d["bytes"]["optimizer"] == 0
+    assert d["bytes"]["conv_boundary"] > 0
+    assert d["bytes"]["reduce_in_attention_softmax"] > 0
+    assert d["predicted_nonconv_ms"] > 0
