@@ -11,6 +11,7 @@ from .mesh import (
 )
 from .multihost import maybe_initialize_distributed
 from .spatial import shard_batch_spatial, spatial_sharding
+from .tensor import tensor_parallel_params
 
 __all__ = [
     "DATA_AXIS",
@@ -23,6 +24,7 @@ __all__ = [
     "replicated",
     "shard_batch",
     "shard_batch_spatial",
+    "tensor_parallel_params",
     "spatial_sharding",
     "world_size",
 ]

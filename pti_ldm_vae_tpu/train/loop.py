@@ -109,18 +109,28 @@ class VAETrainer:
         # axis are padded with masked rows — no device idles, no gcd games.
         par = cfg.get("parallelism") or {}
         spatial = int(par.get("spatial", 1))
-        n_dev = jax.device_count()
-        if n_dev % spatial:
-            raise ValueError(f"spatial={spatial} does not divide {n_dev} devices")
-        data = int(par.get("data", n_dev // spatial))
-        if data * spatial > n_dev:
+        # ``tensor`` (channel sharding, parallel/tensor.py) and ``spatial``
+        # (height sharding) both ride the mesh ``model`` axis — exclusive.
+        tensor = int(par.get("tensor", 1))
+        if spatial > 1 and tensor > 1:
             raise ValueError(
-                f"parallelism data={data} x spatial={spatial} exceeds {n_dev} devices"
+                "parallelism 'spatial' and 'tensor' are mutually exclusive "
+                "(both shard over the model axis)")
+        model_par = max(spatial, tensor)
+        n_dev = jax.device_count()
+        if n_dev % model_par:
+            raise ValueError(
+                f"spatial/tensor={model_par} does not divide {n_dev} devices")
+        data = int(par.get("data", n_dev // model_par))
+        if data * model_par > n_dev:
+            raise ValueError(
+                f"parallelism data={data} x model={model_par} exceeds {n_dev} devices"
             )
-        if data * spatial < n_dev and jax.process_count() > 1:
+        if data * model_par < n_dev and jax.process_count() > 1:
             raise ValueError("multi-host runs must use every device in the mesh")
-        self.mesh = make_mesh(jax.devices()[: data * spatial], data=data, model=spatial)
+        self.mesh = make_mesh(jax.devices()[: data * model_par], data=data, model=model_par)
         self.spatial = spatial > 1
+        self.tensor = tensor > 1
         # LR x world_size rule: world = PROCESS count (each process's loader
         # adds batch_size samples to the global batch, like a DDP rank —
         # reference ``train_vae.py:301-304``). Chips within one process share
@@ -212,6 +222,16 @@ class VAETrainer:
                 compute_dtype=compute_dtype,
             )
             params_d = jax.jit(self.disc.init)(disc_key, dummy)
+
+        if self.tensor:
+            # Channel-shard params over the model axis BEFORE building the
+            # train state: optimizer init (zeros_like) inherits the layout,
+            # so gradients/Adam moments shard too (parallel/tensor.py).
+            from ..parallel.tensor import tensor_parallel_params
+
+            params_g = tensor_parallel_params(self.mesh, params_g)
+            if params_d is not None:
+                params_d = tensor_parallel_params(self.mesh, params_d)
 
         self.state = create_train_state(
             params_g,

@@ -249,6 +249,40 @@ def test_trainer_parallelism_block_validation(dataset, tmp_path):
     cfg["parallelism"] = {"spatial": 3}  # does not divide 8 devices
     with pytest.raises(ValueError, match="does not divide"):
         VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    cfg = _config(dataset, tmp_path / "run_bad2")
+    cfg["parallelism"] = {"spatial": 2, "tensor": 2}  # both want the model axis
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+
+
+def test_trainer_parallelism_tensor(dataset, tmp_path):
+    """`parallelism: {tensor: 2}`: params/optimizer channel-shard over the
+    model axis (parallel/tensor.py) and training numerics match pure DP."""
+    from jax.sharding import PartitionSpec as P
+
+    run_dir = tmp_path / "run_tp"
+    cfg = _config(dataset, run_dir, max_epochs=1)
+    cfg["parallelism"] = {"data": 4, "tensor": 2}
+    trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    assert dict(trainer.mesh.shape) == {"data": 4, "model": 2}
+    assert trainer.tensor is True and trainer.spatial is False
+    k = trainer.state.params_g["params"]["encoder"]["conv_in"]["kernel"]
+    assert k.sharding.spec == P(None, None, None, "model")
+    result = trainer.train()
+    assert np.isfinite(result["best_val_loss"])
+
+    run_dir2 = tmp_path / "run_dp_ref"
+    cfg2 = _config(dataset, run_dir2, max_epochs=1)
+    VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False).train()
+    val_tp = [
+        json.loads(l) for l in (run_dir / "metrics.jsonl").read_text().splitlines()
+        if "val/recon_loss" in l
+    ][-1]["val/recon_loss"]
+    val_dp = [
+        json.loads(l) for l in (run_dir2 / "metrics.jsonl").read_text().splitlines()
+        if "val/recon_loss" in l
+    ][-1]["val/recon_loss"]
+    np.testing.assert_allclose(val_tp, val_dp, rtol=1e-4)
 
 
 def test_resolve_ar_settings():
