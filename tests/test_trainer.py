@@ -285,6 +285,33 @@ def test_trainer_parallelism_tensor(dataset, tmp_path):
     np.testing.assert_allclose(val_tp, val_dp, rtol=1e-4)
 
 
+def test_trainer_norm_stats_one_pass(dataset, tmp_path):
+    """Config "norm_stats": "one_pass" trains end-to-end and lands within
+    fp-noise of the two-pass default — the trainer-level gate
+    tools/flip_norm_stats_default.py runs before flipping the default."""
+    run_dir = tmp_path / "run_1p"
+    cfg = _config(dataset, run_dir, max_epochs=1)
+    cfg["norm_stats"] = "one_pass"
+    trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    assert trainer.model.norm_stats == "one_pass"
+    result = trainer.train()
+    assert np.isfinite(result["best_val_loss"])
+
+    run_dir2 = tmp_path / "run_2p"
+    cfg2 = _config(dataset, run_dir2, max_epochs=1)
+    VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False).train()
+
+    def last_val(rd):
+        return [
+            json.loads(l) for l in (rd / "metrics.jsonl").read_text().splitlines()
+            if "val/recon_loss" in l
+        ][-1]["val/recon_loss"]
+
+    # one epoch of training amplifies the stats-formulation fp difference;
+    # bound it loosely — the op/step-level tests pin the tight equivalence
+    np.testing.assert_allclose(last_val(run_dir), last_val(run_dir2), rtol=5e-2)
+
+
 def test_resolve_ar_settings():
     cfg = {
         "autoencoder_train": {"ar_vae_enabled": "false", "ar_vae_weight": "@unresolved.ref"},

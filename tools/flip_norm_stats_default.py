@@ -107,7 +107,9 @@ def main(argv=None) -> int:
     try:
         test = subprocess.run(
             [sys.executable, "-m", "pytest", "tests/test_ops.py",
-             "tests/test_hbm_model_tool.py", "-q"],
+             "tests/test_hbm_model_tool.py",
+             "tests/test_trainer.py::test_trainer_norm_stats_one_pass",
+             "-q"],
             cwd=REPO, capture_output=True, text=True, timeout=3600,
         )
         gate_ok = test.returncode == 0
