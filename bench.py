@@ -493,8 +493,9 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
         "batch": batch,
         "invert_step_ms": round(invert_step_s * 1e3, 3),
         "invert_steps_per_sec": round(1.0 / invert_step_s, 2),
-        # figure of merit for the batch probe: image-inversion-steps/s
-        # (batch images advance one inversion step each per program step)
+        # inversion-occupancy diagnostic (batch images advance one inversion
+        # step each per program step); the batch probe selects on the
+        # end-to-end recipe rate below, not on this
         "invert_img_steps_per_sec": round(batch / invert_step_s, 1),
         "gflop_per_invert_step": round(invert_step_flops / 1e9, 2),
     }
@@ -818,12 +819,16 @@ def main() -> None:
     # PTI (the namesake stage): steady-state inversion/tune step rates on
     # the flagship decoder, priced at the reference 200/100-step recipe.
     pti = _row("pti_b8", lambda: bench_pti(model, params_g, peak_tf, peak_bw))
-    # PTI batch probe: inversion is decoder-only fwd+bwd+Adam-on-latent, so
-    # occupancy (hence MFU) should rise with batch like the other rows —
-    # measured, not assumed. Figure of merit: image-inversion-steps/s.
+    # PTI batch probe: inversion occupancy rises with batch (b64 inversion
+    # runs 1.4x the image-steps/s of b8), but the TUNE stage — 100 of the
+    # 300 recipe steps, and per-image decoder params under vmap — scales
+    # superlinearly in batch (measured b64: 15.2x b8's step time for 8x the
+    # images), so the end-to-end recipe rate peaks at SMALL batch. Select on
+    # what a user gets: images/s at the reference 200/100 recipe. Rows with
+    # indeterminate tune differencing lack the key and are never selected.
     pti_best = _probe_batches(
         pti, lambda b: bench_pti(model, params_g, peak_tf, peak_bw, batch=b),
-        "invert_img_steps_per_sec", (32, 64),
+        "pti_images_per_sec_200_100", (32, 64),
         label="pti", base_batch=BATCH, enabled=on_tpu)
 
     # Conv-roofline position, recorded (not re-measured here — the per-conv
