@@ -10,4 +10,4 @@ at which point tools/flip_norm_stats_default.py rewrites this file (it is
 the only place the default lives) and commits with the measured numbers.
 """
 
-DEFAULT_NORM_STATS = "two_pass"
+DEFAULT_NORM_STATS = "one_pass"
