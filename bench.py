@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import sys
 import time
 
@@ -88,6 +89,71 @@ def _lookup(table, kind: str):
         if key in kind:
             return val
     return None
+
+
+# --- deadline + incremental-output machinery -------------------------------
+#
+# BENCH_r03 was rc=1 (traceback), BENCH_r04 was rc=124 (driver killed the run
+# mid-measurement; a default flip had invalidated the compile cache and one
+# slow family forfeited the WHOLE artifact). Two defenses, both required:
+#
+# 1. A hard wall-clock budget (PTI_BENCH_DEADLINE_S, default 1200 s — well
+#    under any plausible driver kill) checked between families and between
+#    batch-probe candidates: when it trips, remaining families are recorded
+#    as skipped and the final line prints immediately.
+# 2. Incremental output: the cumulative record is (re)printed as a full JSON
+#    line after EVERY completed family, starting the moment train_b8 lands.
+#    Whatever kills the process mid-run, the last parseable stdout line is a
+#    valid driver artifact with everything measured so far. SIGTERM/SIGALRM
+#    dump the record too (`timeout(1)` sends TERM first).
+
+_START = time.monotonic()
+_DEADLINE_S = float(os.environ.get("PTI_BENCH_DEADLINE_S", "1200"))
+# Stop starting new work when less than this is left (a family's timed
+# windows plus a possible warm-cache compile fit comfortably inside it).
+_FAMILY_RESERVE_S = float(os.environ.get("PTI_BENCH_FAMILY_RESERVE_S", "90"))
+
+
+def _time_left() -> float:
+    return _DEADLINE_S - (time.monotonic() - _START)
+
+
+class _Emitter:
+    """Holds the cumulative bench record; every flush prints the FULL record
+    as one JSON line (the driver parses the last parseable line, so each
+    flush strictly upgrades the artifact)."""
+
+    def __init__(self) -> None:
+        self.record: dict = {}
+        self._installed = False
+
+    def set(self, key: str, value) -> None:
+        self.record[key] = value
+
+    def flush(self) -> None:
+        if self.record.get("value") is None:
+            return  # never print a headline-less line
+        print(json.dumps(self.record), flush=True)
+
+    def install_signal_dump(self) -> None:
+        """On SIGTERM/SIGALRM, dump what has been collected and exit 0."""
+        if self._installed:
+            return
+        self._installed = True
+
+        def _dump(signum, frame):  # noqa: ARG001
+            self.record["partial"] = (
+                f"killed by signal {signum} at "
+                f"{time.monotonic() - _START:.0f}s; families after the last "
+                "recorded one did not run")
+            self.flush()
+            os._exit(0)
+
+        for sig in (signal.SIGTERM, signal.SIGALRM):
+            try:
+                signal.signal(sig, _dump)
+            except (ValueError, OSError):
+                pass  # non-main thread / unsupported platform: no handler
 
 
 def _cost(jitted, *args) -> dict:
@@ -193,6 +259,14 @@ def _probe_batches(base_row: dict, bench_fn, key: str, candidates, *,
         return best
     probe_errors: list[str] = []
     for cand in candidates:
+        if _time_left() < _FAMILY_RESERVE_S:
+            best = dict(best)
+            best["probe_skipped_deadline"] = (
+                f"batch {cand}+ skipped: {_time_left():.0f}s left of "
+                f"{_DEADLINE_S:.0f}s budget")
+            print(f"# {label} batch {cand}+ skipped (deadline)",
+                  file=sys.stderr, flush=True)
+            break
         try:
             res = bench_fn(cand)
         except Exception as exc:  # noqa: BLE001 — classified below
@@ -723,7 +797,53 @@ def main() -> None:
     def make_step():
         return make_train_step(model, None, lcfg, adv_active=False, donate=True)
 
+    # --- incremental record: flushed after every family (see _Emitter) ---
+    emit = _Emitter()
+    emit.install_signal_dump()
+    emit.set("metric", "vae_train_step_throughput_256px_b8")
+    emit.set("value", None)
+    emit.set("unit", "imgs/s")
+    emit.set("vs_baseline", None)
+    emit.set("hardware", kind)
+    emit.set("platform", platform)
+    emit.set("peak_tflops_bf16", peak_tf)
+    emit.set("peak_hbm_gbps", peak_bw)
+    emit.set("deadline_s", _DEADLINE_S)
+    emit.set("measurement", (
+        f"best of {WINDOWS} windows x {ITERS} chained steps; every window "
+        "ends with a device->host transfer forcing execution (tunnel "
+        "block_until_ready is async; round-1 numbers were dispatch-only); "
+        "cumulative record re-printed after each family — parse the LAST "
+        "JSON line"
+    ))
+
+    # Conv-roofline position, recorded (not re-measured here — the per-conv
+    # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
+    # reproduces it). See docs/ARCHITECTURE.md "Conv-roofline position".
+    roofline = {}
+    doc_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
+    for name, rkey in (
+        ("conv_roofline_v5e_infer_b8.json", "inference_b8"),
+        ("conv_roofline_v5e_infer_b128.json", "inference_b128"),
+        ("conv_roofline_v5e_train_b8.json", "train_b8"),
+        ("conv_roofline_v5e_train_b64.json", "train_b64"),
+        ("conv_roofline_v5e_train_b128.json", "train_b128"),
+        ("conv_roofline_v5e_ddim_b8.json", "ddim_b8"),
+    ):
+        path = os.path.join(doc_dir, name)
+        if os.path.exists(path):
+            with open(path, encoding="utf-8") as fh:
+                rec = json.load(fh)
+            if rec.get("conv_roofline_util") is not None:
+                roofline[rkey] = rec["conv_roofline_util"]
+    emit.set("conv_roofline_util_recorded", roofline)
+
     train_b8 = bench_train(model, lpips_params, make_step, BATCH, peak_tf, peak_bw)
+    emit.set("value", train_b8["imgs_per_sec"])
+    emit.set("vs_baseline",
+             round(train_b8["imgs_per_sec"] / BASELINE_IMGS_PER_SEC, 3))
+    emit.set("train_b8", train_b8)
+    emit.flush()  # headline lands: from here every exit leaves an artifact
 
     # 64 and 128 bracket the practical occupancy range: 128 measures 396
     # imgs/s on v5e; 192/256 exceed what the backward pass fits in HBM
@@ -733,11 +853,15 @@ def main() -> None:
         lambda b: bench_train(model, lpips_params, make_step, b, peak_tf, peak_bw),
         "imgs_per_sec", (64, 128),
         label="train", base_batch=BATCH, enabled=on_tpu, stop_on_failure=False)
+    emit.set("train_best", train_best)
+    emit.flush()
 
     params_g = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, HW, HW, 1)), jax.random.key(1)
     )
     infer_b8 = bench_inference(model, params_g, BATCH, peak_tf, peak_bw)
+    emit.set("inference_encode_decode_b8", infer_b8)
+    emit.flush()
     # inference picks its own best batch (its memory envelope differs from
     # training's — the train-best batch need not maximize inference)
     infer_best = _probe_batches(
@@ -746,6 +870,8 @@ def main() -> None:
         "imgs_per_sec", (64, 128),
         label="inference", base_batch=BATCH, enabled=on_tpu,
         stop_on_failure=False)
+    emit.set("inference_encode_decode_best", infer_best)
+    emit.flush()
 
     # Adversarial train step (G+D, reference hot loop with adv_enabled —
     # vae_dente_2 / BASELINE configs[2]): one row at the reference batch.
@@ -791,7 +917,13 @@ def main() -> None:
         """Optional rows must not kill the whole run — the driver needs the
         final JSON line even if one model family regresses. Failures are
         recorded IN the output (never silently swallowed); the required
-        rows above (train/inference) still hard-fail."""
+        rows above (train/inference) still hard-fail. A family that would
+        start with less than the reserve left is skipped with a note."""
+        if _time_left() < _FAMILY_RESERVE_S:
+            note = (f"skipped: {_time_left():.0f}s left of "
+                    f"{_DEADLINE_S:.0f}s budget")
+            print(f"# {label} {note}", file=sys.stderr, flush=True)
+            return {"skipped_deadline": note}
         try:
             return fn()
         except Exception as exc:  # noqa: BLE001 — recorded loudly in the JSON
@@ -799,86 +931,55 @@ def main() -> None:
                   file=sys.stderr, flush=True)
             return {"error": f"{type(exc).__name__}: {str(exc)[:200]}"}
 
-    train_adv_b8 = _row("train_adv_b8", lambda: bench_train_adv(BATCH))
+    def _family(out_key, label, base_fn, probe_fn=None, probe_key=None,
+                candidates=(), best_key=None, base_batch=BATCH, **probe_kw):
+        """Measure a family, flush, optionally batch-probe it, flush again."""
+        row = _row(label, base_fn)
+        emit.set(out_key, row)
+        emit.flush()
+        if probe_fn is not None and "skipped_deadline" not in row:
+            best = _probe_batches(
+                row, probe_fn, probe_key, candidates, label=label,
+                base_batch=base_batch, enabled=on_tpu, **probe_kw)
+            emit.set(best_key, best)
+            emit.flush()
+        elif best_key is not None:
+            emit.set(best_key, dict(row))
+            emit.flush()
+        return row
 
-    ddim = _row("ddim_b8", lambda: bench_ddim(peak_tf, peak_bw))
+    _family("train_adv_b8", "train_adv_b8", lambda: bench_train_adv(BATCH))
+
     # DDIM batch probe: the b8 MFU question (latency- vs occupancy-bound)
     # is answered by measuring a large batch on the same program.
-    ddim_best = _probe_batches(
-        ddim, lambda b: bench_ddim(peak_tf, peak_bw, batch=b),
-        "samples_per_sec", (64, 128),
-        label="ddim", base_batch=8, enabled=on_tpu)
+    _family("ddim", "ddim", lambda: bench_ddim(peak_tf, peak_bw),
+            probe_fn=lambda b: bench_ddim(peak_tf, peak_bw, batch=b),
+            probe_key="samples_per_sec", candidates=(64, 128),
+            best_key="ddim_best", base_batch=8)
 
-    diffusion_train = _row(
-        "diffusion_train_b8", lambda: bench_diffusion_train(peak_tf, peak_bw))
-    diffusion_train_best = _probe_batches(
-        diffusion_train, lambda b: bench_diffusion_train(peak_tf, peak_bw, batch=b),
-        "imgs_per_sec", (64, 128),
-        label="diffusion", base_batch=BATCH, enabled=on_tpu)
+    _family("diffusion_train_b8", "diffusion",
+            lambda: bench_diffusion_train(peak_tf, peak_bw),
+            probe_fn=lambda b: bench_diffusion_train(peak_tf, peak_bw, batch=b),
+            probe_key="imgs_per_sec", candidates=(64, 128),
+            best_key="diffusion_train_best")
 
     # PTI (the namesake stage): steady-state inversion/tune step rates on
     # the flagship decoder, priced at the reference 200/100-step recipe.
-    pti = _row("pti_b8", lambda: bench_pti(model, params_g, peak_tf, peak_bw))
-    # PTI batch probe: inversion occupancy rises with batch (b64 inversion
-    # runs 1.4x the image-steps/s of b8), but the TUNE stage — 100 of the
-    # 300 recipe steps, and per-image decoder params under vmap — scales
-    # superlinearly in batch (measured b64: 15.2x b8's step time for 8x the
-    # images), so the end-to-end recipe rate peaks at SMALL batch. Select on
-    # what a user gets: images/s at the reference 200/100 recipe. Rows with
-    # indeterminate tune differencing lack the key and are never selected.
-    pti_best = _probe_batches(
-        pti, lambda b: bench_pti(model, params_g, peak_tf, peak_bw, batch=b),
-        "pti_images_per_sec_200_100", (32, 64),
-        label="pti", base_batch=BATCH, enabled=on_tpu)
+    # Batch probe: inversion occupancy rises with batch (b64 inversion
+    # runs 1.4x the image-steps/s of b8); the scan-formulated tune stage
+    # (one image's decoder params live at a time) scales ~linearly, so
+    # larger batches can now win. Select on what a user gets: images/s at
+    # the reference 200/100 recipe. Rows with indeterminate tune
+    # differencing lack the key and are never selected.
+    _family("pti_b8", "pti",
+            lambda: bench_pti(model, params_g, peak_tf, peak_bw),
+            probe_fn=lambda b: bench_pti(model, params_g, peak_tf, peak_bw,
+                                         batch=b),
+            probe_key="pti_images_per_sec_200_100", candidates=(32, 64),
+            best_key="pti_best")
 
-    # Conv-roofline position, recorded (not re-measured here — the per-conv
-    # microbench suite takes ~30 min of tunnel compiles; tools/conv_roofline.py
-    # reproduces it). See docs/ARCHITECTURE.md "Conv-roofline position".
-    roofline = {}
-    doc_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)), "docs")
-    for name, key in (
-        ("conv_roofline_v5e_infer_b8.json", "inference_b8"),
-        ("conv_roofline_v5e_infer_b128.json", "inference_b128"),
-        ("conv_roofline_v5e_train_b8.json", "train_b8"),
-        ("conv_roofline_v5e_train_b64.json", "train_b64"),
-        ("conv_roofline_v5e_train_b128.json", "train_b128"),
-        ("conv_roofline_v5e_ddim_b8.json", "ddim_b8"),
-    ):
-        path = os.path.join(doc_dir, name)
-        if os.path.exists(path):
-            with open(path, encoding="utf-8") as fh:
-                rec = json.load(fh)
-            if rec.get("conv_roofline_util") is not None:
-                roofline[key] = rec["conv_roofline_util"]
-
-    imgs_per_sec = train_b8["imgs_per_sec"]
-    print(json.dumps({
-        "metric": "vae_train_step_throughput_256px_b8",
-        "value": imgs_per_sec,
-        "unit": "imgs/s",
-        "vs_baseline": round(imgs_per_sec / BASELINE_IMGS_PER_SEC, 3),
-        "hardware": kind,
-        "platform": jax.default_backend(),
-        "peak_tflops_bf16": peak_tf,
-        "peak_hbm_gbps": peak_bw,
-        "train_b8": train_b8,
-        "train_best": train_best,
-        "inference_encode_decode_b8": infer_b8,
-        "inference_encode_decode_best": infer_best,
-        "train_adv_b8": train_adv_b8,
-        "ddim": ddim,
-        "ddim_best": ddim_best,
-        "diffusion_train_b8": diffusion_train,
-        "diffusion_train_best": diffusion_train_best,
-        "pti_b8": pti,
-        "pti_best": pti_best,
-        "conv_roofline_util_recorded": roofline,
-        "measurement": (
-            f"best of {WINDOWS} windows x {ITERS} chained steps; every window "
-            "ends with a device->host transfer forcing execution (tunnel "
-            "block_until_ready is async; round-1 numbers were dispatch-only)"
-        ),
-    }))
+    emit.set("elapsed_s", round(time.monotonic() - _START, 1))
+    emit.flush()
 
 
 if __name__ == "__main__":

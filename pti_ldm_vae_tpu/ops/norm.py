@@ -35,16 +35,19 @@ def group_norm(
 
     ``stats`` selects the statistics formulation:
 
-    * ``"two_pass"`` (default): ``var = mean((x - mean)^2)`` — the centered
-      form; the variance pass depends on the mean, so XLA emits TWO
-      sequential reads of ``x`` from HBM.
-    * ``"one_pass"``: ``var = mean(x^2) - mean(x)^2`` — both moments depend
+    * ``"one_pass"`` (default since the measured v5e A/B win —
+      +8.3%/+8.8%/+17% on train b8/b128/inference b128):
+      ``var = mean(x^2) - mean(x)^2`` — both moments depend
       only on ``x``, so XLA's multi-output fusion computes them in ONE HBM
       pass. The train step is reduce-traffic bound off the conv floor
       (tools/train_step_hbm_model.py: norm stats are the top non-conv HBM
       category), making this the targeted lever. f32 accumulation; the
       difference form loses precision only when ``mean^2 >> var``
       (near-constant groups), which post-conv activations don't exhibit.
+    * ``"two_pass"``: ``var = mean((x - mean)^2)`` — the centered
+      form the torch/MONAI reference computes; the variance pass depends on
+      the mean, so XLA emits TWO sequential reads of ``x`` from HBM. One
+      config key away for bit-parity runs (the parity tools pin it).
     """
     c = x.shape[-1]
     spatial = x.shape[1:-1]

@@ -86,10 +86,11 @@ def test_train_cli(workspace):
     root, cfg_path, _ = workspace
     from pti_ldm_vae_tpu.cli.train_vae import main
 
-    # --norm-stats exercises the CLI flag end-to-end (one_pass is the
-    # single-HBM-pass GroupNorm stats lever; numerics pinned elsewhere)
+    # --norm-stats exercises the CLI flag end-to-end; two_pass is the
+    # NON-default now (default flipped to one_pass after the v5e A/B),
+    # so the flag demonstrably overrides (numerics pinned elsewhere)
     result = main(["-c", str(cfg_path), "--no-wandb", "--f32",
-                   "--num-workers", "2", "--norm-stats", "one_pass"])
+                   "--num-workers", "2", "--norm-stats", "two_pass"])
     assert result["total_step"] == 2  # 8 train imgs / batch 4
     assert (root / "runs" / "tiny" / "trained_weights" / "autoencoder_last").exists()
 

@@ -102,8 +102,11 @@ def test_autoencoder_norm_stats_config_reachable():
            "with_encoder_nonlocal_attn": True,
            "with_decoder_nonlocal_attn": True}
     x = jnp.asarray(np.random.default_rng(0).standard_normal((2, 32, 32, 1)).astype(np.float32))
-    m2 = autoencoder_from_config(cfg)
+    # pin two_pass explicitly: the default is one_pass now, and this test
+    # must keep comparing the two formulations (advisor r4 finding)
+    m2 = autoencoder_from_config(cfg, norm_stats="two_pass")
     m1 = autoencoder_from_config(cfg, norm_stats="one_pass")
+    assert m2.norm_stats == "two_pass" and m1.norm_stats == "one_pass"
     params = m2.init(jax.random.key(0), x, jax.random.key(1))
     r2 = m2.apply(params, x, jax.random.key(2))
     r1 = m1.apply(params, x, jax.random.key(2))

@@ -299,7 +299,12 @@ def test_trainer_norm_stats_one_pass(dataset, tmp_path):
 
     run_dir2 = tmp_path / "run_2p"
     cfg2 = _config(dataset, run_dir2, max_epochs=1)
-    VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False).train()
+    # pin two_pass explicitly: the default flipped to one_pass, and this
+    # test must keep comparing the two formulations (advisor r4 finding)
+    cfg2["norm_stats"] = "two_pass"
+    trainer2 = VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False)
+    assert trainer2.model.norm_stats == "two_pass"
+    trainer2.train()
 
     def last_val(rd):
         return [

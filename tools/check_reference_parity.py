@@ -42,8 +42,13 @@ def check(dump_dir: str) -> dict[str, float]:
                     weights_only=False)
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
+    # norm_stats="two_pass": this tool exists to match the reference's
+    # centered-moments GroupNorm formulation exactly; the framework default
+    # is one_pass (a measured perf win), which would let formulation noise
+    # eat into the 1e-3 parity margin.
     model = autoencoder_from_config(
-        ae_def, compute_dtype=jnp.float32, use_pallas_attention=False
+        ae_def, compute_dtype=jnp.float32, use_pallas_attention=False,
+        norm_stats="two_pass",
     )
     variables = from_torch_state_dict(sd, ae_def)
 
@@ -112,7 +117,9 @@ def check_unet(unet_dir: str) -> dict[str, float]:
                     weights_only=False)
     sd = {k: v.numpy() if hasattr(v, "numpy") else np.asarray(v) for k, v in sd.items()}
 
-    unet = diffusion_unet_from_config(diffusion_def, compute_dtype=jnp.float32)
+    # two_pass pins the reference's GroupNorm formulation (default: one_pass)
+    unet = diffusion_unet_from_config(
+        diffusion_def, compute_dtype=jnp.float32, norm_stats="two_pass")
     variables = unet_from_torch_state_dict(sd, diffusion_def)
     x = jnp.asarray(np.moveaxis(dump["input"], 1, -1))
     eps = unet.apply(variables, x, jnp.asarray(dump["timesteps"]).astype(jnp.int32),

@@ -167,7 +167,11 @@ def _evaluate_with_lpips(weights_dir: str, workdir: str) -> dict:
     from pti_ldm_vae_tpu.checkpoint.orbax_io import save_pytree
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
 
-    model = autoencoder_from_config(cfg["autoencoder_def"], compute_dtype=jnp.float32)
+    # two_pass pins the reference's GroupNorm formulation for the parity run
+    # (the framework default is the one_pass perf formulation)
+    model = autoencoder_from_config(
+        cfg["autoencoder_def"], compute_dtype=jnp.float32,
+        norm_stats="two_pass")
     variables = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, 32, 32, 1)), jax.random.key(1)
     )
