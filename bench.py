@@ -533,10 +533,14 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
 
     z_init = model.apply(params_g, targets, method=model.encode_deterministic)
 
+    # PTI_BENCH_TUNE_FORMULATION=vmap reruns the legacy per-image-copies
+    # tune stage for the A/B; default is the linear-scaling scan.
+    formulation = os.environ.get("PTI_BENCH_TUNE_FORMULATION", "scan")
     prog_a = make_pivotal_tuning_inversion_batched(
         decode_fn, latent_steps=L, tune_steps=0)
     prog_b = make_pivotal_tuning_inversion_batched(
-        decode_fn, latent_steps=L, tune_steps=T)
+        decode_fn, latent_steps=L, tune_steps=T,
+        tune_formulation=formulation)
 
     def run_a(iters):
         # Chain iterations through a data dependency (fold the previous
@@ -565,6 +569,7 @@ def bench_pti(model, params_g, peak_tf, peak_bw, batch: int = 8) -> dict:
     invert_step_flops = float(cost_a.get("flops", 0.0))
     out = {
         "batch": batch,
+        "tune_formulation": formulation,
         "invert_step_ms": round(invert_step_s * 1e3, 3),
         "invert_steps_per_sec": round(1.0 / invert_step_s, 2),
         # inversion-occupancy diagnostic (batch images advance one inversion

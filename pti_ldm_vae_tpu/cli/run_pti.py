@@ -43,6 +43,12 @@ def parse_args(argv=None) -> argparse.Namespace:
     parser.add_argument("--tune-lr", type=float, default=1e-4)
     parser.add_argument("--save-tuned", action="store_true",
                         help="Save per-image tuned decoder params (large)")
+    parser.add_argument("--tune-formulation", choices=("scan", "vmap"),
+                        default="scan",
+                        help="Batched tune stage: 'scan' holds one image's "
+                             "decoder params live at a time (linear scaling, "
+                             "default); 'vmap' is the legacy per-image-copies "
+                             "path kept for A/B")
     # --batch-size comes from add_shared_io_args: >1 vmaps the whole PTI
     # stage and shards it over the device mesh (each chip tunes its images
     # independently); 1 keeps the sequential per-image path.
@@ -76,6 +82,7 @@ def main(argv=None) -> Path:
     hyper = dict(
         latent_steps=args.latent_steps, latent_lr=args.latent_lr,
         tune_steps=args.tune_steps, tune_lr=args.tune_lr,
+        tune_formulation=args.tune_formulation,
     )
     batched = args.batch_size > 1
     mesh = None
@@ -129,8 +136,10 @@ def main(argv=None) -> Path:
                          losses["latent"][int(row)], losses["tune"][int(row)])
         else:
             target = images[:1]
+            # the single-image path has no batch axis — no formulation knob
+            seq_hyper = {k: v for k, v in hyper.items() if k != "tune_formulation"}
             pivot, tuned, losses = pivotal_tuning_inversion(
-                decode_fn, variables, target, z_init[:1], **hyper
+                decode_fn, variables, target, z_init[:1], **seq_hyper
             )
             name = Path(paths[img_idx]).stem
             save_one(name, pivot, tuned, losses["latent"], losses["tune"])
