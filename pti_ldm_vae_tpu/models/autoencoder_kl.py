@@ -41,6 +41,14 @@ import jax.numpy as jnp
 from ..ops.attention import multi_head_attention
 from ..ops.norm import DEFAULT_NORM_STATS, group_norm, group_norm_silu
 from ..ops.resize import upsample_nearest_2x
+from ..ops.space_to_depth import (
+    depth_to_space,
+    s2d_conv1x1_kernel,
+    s2d_conv3x3_kernel,
+    s2d_downsample_kernel,
+    s2d_repeat_channels,
+    space_to_depth,
+)
 
 __all__ = ["AutoencoderKL", "autoencoder_from_config"]
 
@@ -181,6 +189,154 @@ class Upsample(nn.Module):
         )(x)
 
 
+# --- space-to-depth full-resolution path ------------------------------------
+#
+# The flagship spends most of its conv time in 256² small-channel (c32/c64)
+# convs that starve the 128x128 MXU (docs/ARCHITECTURE.md floor analysis).
+# These modules run the SAME math at half resolution with 4x channels via the
+# equivalence-preserving weight transforms in ops/space_to_depth.py. They are
+# param-compatible with the standard modules — identical names, shapes, and
+# initializers — so checkpoints and init RNG streams are interchangeable and
+# ``s2d_stem`` is a pure apply-time knob (the norm_stats playbook).
+
+
+class S2DConv(nn.Module):
+    """Declares canonical ``nn.Conv`` params (kernel [kh,kw,C,O], bias [O]);
+    applies the s2d-transformed kernel on a [B, H/2, W/2, 4C] tensor.
+
+    kind: "3x3"  — stride-1 padding-1 SAME conv; output stays in s2d domain
+          "1x1"  — pointwise; output stays in s2d domain
+          "down" — asymmetric-pad stride-2 downsample; output EXITS the s2d
+                   domain (it is the next level's half-res tensor directly)
+    """
+
+    features: int
+    in_features: int
+    kind: str = "3x3"
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        k = 1 if self.kind == "1x1" else 3
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (k, k, self.in_features, self.features), self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        kernel = kernel.astype(self.compute_dtype)
+        x = x.astype(self.compute_dtype)
+        if self.kind == "3x3":
+            w, pad, b = s2d_conv3x3_kernel(kernel), [(1, 1), (1, 1)], jnp.repeat(bias, 4)
+        elif self.kind == "1x1":
+            w, pad, b = s2d_conv1x1_kernel(kernel), [(0, 0), (0, 0)], jnp.repeat(bias, 4)
+        elif self.kind == "down":
+            w, pad, b = s2d_downsample_kernel(kernel), [(0, 1), (0, 1)], bias
+        else:
+            raise ValueError(f"unknown S2DConv kind {self.kind!r}")
+        out = jax.lax.conv_general_dilated(
+            x, w, window_strides=(1, 1), padding=pad,
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.compute_dtype,
+        )
+        return out + b.astype(self.compute_dtype)
+
+
+class S2DGroupNorm(nn.Module):
+    """GroupNorm(+SiLU) on an s2d tensor with canonical [C] scale/bias params.
+
+    The channel-major phase layout maps original group [g0, g1) to s2d
+    channels [4·g0, 4·g1) — group statistics cover exactly the original
+    element sets, so ``num_groups`` is unchanged and scale/bias repeat 4x.
+    """
+
+    num_groups: int
+    eps: float
+    channels: int
+    silu: bool = False
+    use_pallas: bool = False
+    norm_stats: str = DEFAULT_NORM_STATS
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        scale = self.param("scale", nn.initializers.ones, (self.channels,))
+        bias = self.param("bias", nn.initializers.zeros, (self.channels,))
+        scale4, bias4 = jnp.repeat(scale, 4), jnp.repeat(bias, 4)
+        if self.silu:
+            return group_norm_silu(
+                x, scale4, bias4, num_groups=self.num_groups, eps=self.eps,
+                use_pallas=self.use_pallas, stats=self.norm_stats,
+            )
+        return group_norm(
+            x, scale4, bias4, num_groups=self.num_groups, eps=self.eps,
+            stats=self.norm_stats,
+        )
+
+
+class S2DResBlock(nn.Module):
+    """ResBlock applied in the s2d domain; param tree identical to ResBlock."""
+
+    out_channels: int
+    norm_num_groups: int
+    norm_eps: float
+    use_pallas: bool = False
+    norm_stats: str = DEFAULT_NORM_STATS
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        in_channels = x.shape[-1] // 4
+        cd = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
+        h = S2DGroupNorm(self.norm_num_groups, self.norm_eps, in_channels,
+                         silu=True, use_pallas=self.use_pallas,
+                         norm_stats=self.norm_stats, name="norm1")(x)
+        h = S2DConv(self.out_channels, in_channels, kind="3x3", name="conv1", **cd)(h)
+        h = S2DGroupNorm(self.norm_num_groups, self.norm_eps, self.out_channels,
+                         silu=True, use_pallas=self.use_pallas,
+                         norm_stats=self.norm_stats, name="norm2")(h)
+        h = S2DConv(self.out_channels, self.out_channels, kind="3x3", name="conv2", **cd)(h)
+        if in_channels != self.out_channels:
+            x = S2DConv(self.out_channels, in_channels, kind="1x1",
+                        name="nin_shortcut", **cd)(x)
+        return x + h
+
+
+class S2DDownsample(nn.Module):
+    """Param-compatible with ``Downsample`` (child conv named "conv");
+    output exits the s2d domain."""
+
+    channels: int
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        return S2DConv(
+            self.channels, x.shape[-1] // 4, kind="down", name="conv",
+            compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )(x)
+
+
+class S2DUpsample(nn.Module):
+    """Param-compatible with ``Upsample``; input is NOT in the s2d domain —
+    nearest-2x is expressed as the s2d phase-repeat, so the op ENTERS the
+    s2d domain: [B, H, W, C] -> [B, H, W, 4·channels]."""
+
+    channels: int
+    compute_dtype: Any = jnp.float32
+    param_dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = s2d_repeat_channels(x)
+        return S2DConv(
+            self.channels, x.shape[-1] // 4, kind="3x3", name="conv",
+            compute_dtype=self.compute_dtype, param_dtype=self.param_dtype,
+        )(x)
+
+
 class Encoder(nn.Module):
     channels: Sequence[int]
     latent_channels: int
@@ -193,6 +349,7 @@ class Encoder(nn.Module):
     use_pallas_attention: bool | None = False  # None: op auto-select at apply
     norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
+    s2d_stem: bool = False  # run level 0 in the space-to-depth domain
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -211,8 +368,29 @@ class Encoder(nn.Module):
         # checkpoints are interchangeable between remat and non-remat models.
         Res = nn.remat(ResBlock) if self.remat else ResBlock
         Attn = nn.remat(SpatialAttentionBlock) if self.remat else SpatialAttentionBlock
-        h = nn.Conv(self.channels[0], (3,) * (x.ndim - 2), padding=1, name="conv_in", **p)(x)
+        if self.s2d_stem:
+            # Level 0 (the small-channel full-res floor) in the s2d domain:
+            # identical math at half resolution with 4x channels; the
+            # downsample exits the domain. Param tree unchanged.
+            if x.ndim != 4:
+                raise ValueError("s2d_stem requires spatial_dims == 2")
+            if self.attention_levels[0]:
+                raise ValueError("s2d_stem does not support level-0 attention")
+            if len(self.channels) < 2:
+                raise ValueError("s2d_stem requires >= 2 levels")
+            SRes = nn.remat(S2DResBlock) if self.remat else S2DResBlock
+            sp = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
+            h = space_to_depth(x.astype(self.compute_dtype))
+            h = S2DConv(self.channels[0], x.shape[-1], kind="3x3",
+                        name="conv_in", **sp)(h)
+            for block in range(self.num_res_blocks[0]):
+                h = SRes(self.channels[0], name=f"down_0_res_{block}", **rb)(h)
+            h = S2DDownsample(self.channels[0], name="down_0_downsample", **sp)(h)
+        else:
+            h = nn.Conv(self.channels[0], (3,) * (x.ndim - 2), padding=1, name="conv_in", **p)(x)
         for level, ch in enumerate(self.channels):
+            if self.s2d_stem and level == 0:
+                continue  # handled above in the s2d domain
             for block in range(self.num_res_blocks[level]):
                 h = Res(ch, name=f"down_{level}_res_{block}", **rb)(h)
                 if self.attention_levels[level]:
@@ -258,6 +436,7 @@ class Decoder(nn.Module):
     use_pallas_attention: bool | None = False  # None: op auto-select at apply
     norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
+    s2d_stem: bool = False  # run the full-res tail in the s2d domain
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
@@ -291,7 +470,17 @@ class Decoder(nn.Module):
                 name="mid_attn",
             )(h)
             h = Res(rev_channels[0], name="mid_res_2", **rb)(h)
+        n_levels = len(rev_channels)
+        if self.s2d_stem:
+            if z.ndim != 4:
+                raise ValueError("s2d_stem requires spatial_dims == 2")
+            if rev_attention[n_levels - 1]:
+                raise ValueError("s2d_stem does not support full-res attention")
+            if n_levels < 2:
+                raise ValueError("s2d_stem requires >= 2 levels")
         for level, ch in enumerate(rev_channels):
+            if self.s2d_stem and level == n_levels - 1:
+                break  # full-res tail handled below in the s2d domain
             for block in range(rev_res_blocks[level]):
                 h = Res(ch, name=f"up_{level}_res_{block}", **rb)(h)
                 if rev_attention[level]:
@@ -304,8 +493,29 @@ class Decoder(nn.Module):
                         param_dtype=self.param_dtype,
                         name=f"up_{level}_attn_{block}",
                     )(h)
-            if level != len(rev_channels) - 1:
-                h = Upsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"up_{level}_upsample")(h)
+            if level != n_levels - 1:
+                if self.s2d_stem and level == n_levels - 2:
+                    # nearest-2x is the s2d phase-repeat: ENTER the s2d
+                    # domain here instead of materializing the 2x tensor.
+                    h = S2DUpsample(ch, compute_dtype=self.compute_dtype,
+                                    param_dtype=self.param_dtype,
+                                    name=f"up_{level}_upsample")(h)
+                else:
+                    h = Upsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"up_{level}_upsample")(h)
+        if self.s2d_stem:
+            SRes = nn.remat(S2DResBlock) if self.remat else S2DResBlock
+            lvl = n_levels - 1
+            for block in range(rev_res_blocks[lvl]):
+                h = SRes(rev_channels[lvl], name=f"up_{lvl}_res_{block}", **rb)(h)
+            h = S2DGroupNorm(
+                self.norm_num_groups, self.norm_eps, rev_channels[lvl],
+                silu=True, use_pallas=self.use_pallas,
+                norm_stats=self.norm_stats, name="norm_out",
+            )(h)
+            h = S2DConv(self.out_channels, rev_channels[lvl], kind="3x3",
+                        name="conv_out", compute_dtype=self.compute_dtype,
+                        param_dtype=self.param_dtype)(h)
+            return depth_to_space(h)
         h = GroupNormOp(
             self.norm_num_groups, self.norm_eps, silu=True, use_pallas=self.use_pallas,
             norm_stats=self.norm_stats, name="norm_out",
@@ -355,12 +565,21 @@ class AutoencoderKL(nn.Module):
     # activation memory, unlocking batch/resolution sizes whose stored-
     # activation backward exceeds HBM. Variable paths are unchanged.
     remat: bool = False
+    # Space-to-depth full-resolution path (config key "s2d_stem"): run the
+    # encoder's level 0 and the decoder's full-res tail at half resolution
+    # with 4x channels via equivalence-preserving weight transforms
+    # (ops/space_to_depth.py) — the small-channel 256² convs that floor the
+    # step lift onto the MXU. Apply-time knob: parameter trees, checkpoints,
+    # and init RNG streams are identical to the standard form.
+    s2d_stem: bool = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self) -> None:
         if self.spatial_dims not in (1, 2, 3):
             raise ValueError(f"spatial_dims must be 1, 2, or 3, got {self.spatial_dims}")
+        if self.s2d_stem and self.spatial_dims != 2:
+            raise ValueError("s2d_stem requires spatial_dims == 2")
         # None passes through to ops.attention.multi_head_attention, which
         # auto-selects the Pallas flash kernel at APPLY time (TPU backend and
         # >=512 tokens — the measured-win regime; same policy as the UNet).
@@ -391,6 +610,7 @@ class AutoencoderKL(nn.Module):
             use_pallas_attention=attn_pallas,
             norm_stats=self.norm_stats,
             remat=self.remat,
+            s2d_stem=self.s2d_stem,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -406,6 +626,7 @@ class AutoencoderKL(nn.Module):
             use_pallas_attention=attn_pallas,
             norm_stats=self.norm_stats,
             remat=self.remat,
+            s2d_stem=self.s2d_stem,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -472,6 +693,7 @@ def autoencoder_from_config(
     use_pallas_attention: bool | None = None,
     norm_stats: str = DEFAULT_NORM_STATS,
     remat: bool = False,
+    s2d_stem: bool = False,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:
     """Build an AutoencoderKL from a reference-format ``autoencoder_def`` dict
@@ -496,5 +718,6 @@ def autoencoder_from_config(
         use_pallas_attention=use_pallas_attention,
         norm_stats=norm_stats,
         remat=remat,
+        s2d_stem=s2d_stem,
         compute_dtype=compute_dtype,
     )

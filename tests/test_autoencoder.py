@@ -209,3 +209,68 @@ def test_remat_from_config_factory():
     )
     assert autoencoder_from_config(cfg).remat is False
     assert autoencoder_from_config(cfg, remat=True).remat is True
+
+
+def test_s2d_stem_same_params_outputs_and_grads(tiny_model):
+    """``s2d_stem=True`` (space-to-depth full-res path) is numerically inert
+    up to float reordering: identical variable tree, matching forward and
+    gradients under the SAME params — only the conv schedule changes
+    (half resolution, 4x channels; ops/space_to_depth.py)."""
+    model, variables = tiny_model
+    model_s = AutoencoderKL(**TINY, s2d_stem=True)
+    x = jnp.asarray(
+        np.random.default_rng(1).normal(size=(2, 16, 16, 1)).astype(np.float32))
+
+    # identical variable structure AND identical init values (same names,
+    # shapes, and initializers -> the init RNG stream is reproduced exactly)
+    vars_s = model_s.init(jax.random.key(0), x, jax.random.key(1))
+    assert jax.tree_util.tree_structure(vars_s) == jax.tree_util.tree_structure(
+        variables)
+    for a, b in zip(jax.tree_util.tree_leaves(variables),
+                    jax.tree_util.tree_leaves(vars_s)):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=0)
+
+    # matching forward under the SAME params (float-reorder tolerance)
+    recon, mu, sigma = model.apply(variables, x, jax.random.key(2))
+    recon_s, mu_s, sigma_s = model_s.apply(variables, x, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(mu), np.asarray(mu_s),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(recon_s),
+                               rtol=1e-4, atol=1e-4)
+
+    # matching gradients
+    def loss(m):
+        def f(v):
+            r, z_mu, z_sigma = m.apply(v, x, jax.random.key(2))
+            return jnp.mean(jnp.abs(r - x)) + 1e-3 * jnp.mean(z_mu**2 + z_sigma**2)
+        return f
+
+    g = jax.grad(loss(model))(variables)
+    g_s = jax.grad(loss(model_s))(variables)
+    flat, flat_s = jax.tree_util.tree_leaves(g), jax.tree_util.tree_leaves(g_s)
+    assert len(flat) == len(flat_s)
+    for a, b in zip(flat, flat_s):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-4)
+
+
+def test_s2d_stem_guards_and_factory():
+    cfg = dict(
+        spatial_dims=2, in_channels=1, out_channels=1, latent_channels=4,
+        channels=[8, 16], num_res_blocks=1, norm_num_groups=4,
+        attention_levels=[False, False],
+    )
+    assert autoencoder_from_config(cfg).s2d_stem is False
+    assert autoencoder_from_config(cfg, s2d_stem=True).s2d_stem is True
+
+    # 3-D models cannot take the 2-D s2d path
+    with pytest.raises(ValueError, match="s2d_stem"):
+        AutoencoderKL(**{**TINY, "spatial_dims": 3}, s2d_stem=True).init(
+            jax.random.key(0), jnp.zeros((1, 8, 8, 8, 1)), jax.random.key(1))
+
+    # level-0 attention is unsupported in the s2d domain
+    bad = {**TINY, "attention_levels": (True, False)}
+    with pytest.raises(ValueError, match="attention"):
+        AutoencoderKL(**bad, s2d_stem=True).init(
+            jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1))

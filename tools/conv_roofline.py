@@ -429,6 +429,48 @@ def build_ddim(batch: int):
     return lowered, run_chain, num_steps
 
 
+def build_diffusion_train(batch: int):
+    """Flagship LDM epsilon-MSE train step (conditioned) on 32² latents —
+    the program ``bench.bench_diffusion_train`` measures. Most of the
+    UNet's work is attention dot_generals, not convs: the conv floor here
+    bounds only the conv fraction (the analytic HBM model prices the
+    rest; tools/train_step_hbm_model.py --mode diffusion)."""
+    import optax
+
+    import bench as bench_mod
+    from pti_ldm_vae_tpu.train.diffusion import make_diffusion_train_step
+
+    unet, projector, schedule, lhw, lch, _ = bench_mod._flagship_ldm()
+    rng = np.random.default_rng(6)
+    latents = jnp.asarray(rng.standard_normal((batch, lhw, lhw, lch)).astype(np.float32))
+    cond = jnp.asarray(rng.standard_normal((batch, lhw, lhw, lch)).astype(np.float32))
+    tokens = cond.reshape(batch, lhw * lhw, lch)
+    params = {
+        "unet": jax.jit(unet.init)(
+            jax.random.key(0), latents, jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch, lhw * lhw, 512), jnp.float32),
+        ),
+        "projector": projector.init(jax.random.key(1), tokens),
+    }
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(params)
+    step = make_diffusion_train_step(unet, schedule, tx, projector=projector,
+                                     donate=False)
+    lowered = step.lower(params, opt_state, latents, cond, jax.random.key(2))
+
+    holder = {"params": params, "opt": opt_state, "key": jax.random.key(3)}
+
+    def run_chain(iters):
+        for _ in range(iters):
+            holder["key"], sub = jax.random.split(holder["key"])
+            holder["params"], holder["opt"], _loss = step(
+                holder["params"], holder["opt"], latents, cond, sub
+            )
+        return holder["params"]["projector"]
+
+    return lowered, run_chain
+
+
 def build_train(batch: int):
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
@@ -479,7 +521,8 @@ def _roofline_util(floor_s: float, measured_s: float, n_benched: int):
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--probe-spec", default=None, help=argparse.SUPPRESS)
-    ap.add_argument("--mode", choices=("inference", "train", "ddim"), default="inference")
+    ap.add_argument("--mode", choices=("inference", "train", "ddim", "diffusion"),
+                    default="inference")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--iters", type=int, default=30)
     ap.add_argument("--top", type=int, default=None,
@@ -520,6 +563,8 @@ def main() -> None:
         lowered, run_chain = build_inference(args.batch)
     elif args.mode == "train":
         lowered, run_chain = build_train(args.batch)
+    elif args.mode == "diffusion":
+        lowered, run_chain = build_diffusion_train(args.batch)
     else:
         lowered, run_chain, body_mult = build_ddim(args.batch)
     convs = parse_convs(lowered.as_text())

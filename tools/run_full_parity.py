@@ -53,13 +53,44 @@ REFERENCE_PINS = ["torch==2.7.*", "monai==1.5.1", "lpips", "torchvision", "tifff
 # torch side
 # --------------------------------------------------------------------------
 
-def torch_side(reference: str, out: str, install: bool) -> int:
-    if install:
+def torch_side(reference: str, out: str, install: bool, dry: bool = False) -> int:
+    if install and not dry:
         subprocess.check_call([sys.executable, "-m", "pip", "install", *REFERENCE_PINS])
 
     os.makedirs(out, exist_ok=True)
     weights_dir = os.path.join(out, "weights")
     os.makedirs(weights_dir, exist_ok=True)
+
+    if dry:
+        # Zero-egress validation of the handoff plumbing: check every input
+        # the real run needs (reference checkout layout, configs, converter
+        # scripts) and print the execution plan without importing lpips/
+        # torchvision or downloading anything.
+        cfg_dir = os.path.join(reference, "config")
+        vae_configs = sorted(
+            p for p in glob.glob(os.path.join(cfg_dir, "*.json"))
+            if os.path.basename(p).startswith(("vae", "ar_vae"))
+        )
+        problems = []
+        if not vae_configs:
+            problems.append(f"no vae*/ar_vae* configs under {cfg_dir}")
+        for script in ("convert_lpips_weights.py", "convert_vgg16_weights.py",
+                       "dump_reference_activations.py"):
+            if not os.path.exists(os.path.join(HERE, script)):
+                problems.append(f"missing tool {script}")
+        ldm_cfg = os.path.join(REPO, "config", "ldm_dente.json")
+        if not os.path.exists(ldm_cfg):
+            problems.append(f"missing {ldm_cfg}")
+        plan = [
+            f"pip install {' '.join(REFERENCE_PINS)}",
+            f"convert LPIPS -> {weights_dir}/lpips_squeeze.npz",
+            f"convert VGG16 -> {weights_dir}/vgg16_features.npz",
+            *(f"dump {os.path.basename(c)} -> {out}/" for c in vae_configs),
+            f"dump flagship UNet ({ldm_cfg}) -> {out}/",
+        ]
+        print(json.dumps({"dry_run": True, "ok": not problems,
+                          "problems": problems, "plan": plan}, indent=1))
+        return 1 if problems else 0
 
     print("== converting LPIPS + VGG16 weights ==", flush=True)
     subprocess.check_call([
@@ -263,13 +294,16 @@ def main(argv=None) -> int:
     t.add_argument("--out", default="parity_dumps")
     t.add_argument("--install", action="store_true",
                    help="pip install the reference's pinned deps first")
+    t.add_argument("--dry", action="store_true",
+                   help="validate inputs + print the plan without importing "
+                        "lpips/torchvision or downloading (zero-egress check)")
     j = sub.add_parser("jax-side")
     j.add_argument("--dumps", required=True)
     j.add_argument("--tol", type=float, default=1e-3)
     j.add_argument("--report", default="PARITY_REPORT.json")
     args = parser.parse_args(argv)
     if args.side == "torch-side":
-        return torch_side(args.reference, args.out, args.install)
+        return torch_side(args.reference, args.out, args.install, dry=args.dry)
     return jax_side(args.dumps, args.tol, args.report)
 
 

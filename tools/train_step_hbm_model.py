@@ -266,6 +266,41 @@ def _lower_train(batch: int, norm_stats: str):
     return lowered.as_text(), params_g, 1
 
 
+def _lower_diffusion_train(batch: int, norm_stats: str):
+    """Lowered flagship LDM train step (bf16 forced — the TPU program).
+
+    Mirrors ``bench.bench_diffusion_train``: conditioned epsilon-MSE on 32²
+    latents, Adam over UNet+projector. ``norm_stats`` is accepted for CLI
+    symmetry but the UNet uses its own GroupNorm stack built from the
+    config (the knob threads through ``diffusion_unet_from_config``)."""
+    import optax
+
+    import jax
+    import jax.numpy as jnp
+
+    import bench as bench_mod
+    from pti_ldm_vae_tpu.train.diffusion import make_diffusion_train_step
+
+    unet, projector, schedule, lhw, lch, _ = bench_mod._flagship_ldm(
+        compute_dtype=jnp.bfloat16)
+    latents = jnp.zeros((batch, lhw, lhw, lch), jnp.float32)
+    cond = jnp.zeros((batch, lhw, lhw, lch), jnp.float32)
+    tokens = cond.reshape(batch, lhw * lhw, lch)
+    params = jax.eval_shape(lambda: {
+        "unet": unet.init(
+            jax.random.key(0), latents, jnp.zeros((batch,), jnp.int32),
+            jnp.zeros((batch, lhw * lhw, 512), jnp.float32)),
+        "projector": projector.init(jax.random.key(1), tokens),
+    })
+    params = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), params)
+    tx = optax.adam(1e-5)
+    opt_state = tx.init(params)
+    step = make_diffusion_train_step(unet, schedule, tx, projector=projector,
+                                     donate=False)
+    lowered = step.lower(params, opt_state, latents, cond, jax.random.key(2))
+    return lowered.as_text(), params, 1
+
+
 def _lower_ddim(batch: int, norm_stats: str):
     """Lowered flagship DDIM sample (bf16 forced — the TPU program).
 
@@ -319,7 +354,8 @@ def _lower_ddim(batch: int, norm_stats: str):
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--mode", choices=("train", "ddim"), default="train")
+    ap.add_argument("--mode", choices=("train", "ddim", "diffusion"),
+                    default="train")
     ap.add_argument("--batch", type=int, default=128)
     ap.add_argument("--bw-gbps", type=float, default=819.0,
                     help="HBM bandwidth (default: v5e 819 GB/s)")
@@ -344,6 +380,8 @@ def main(argv=None) -> int:
     # platform-independent, so the analysis of the TPU program runs on CPU.
     if args.mode == "train":
         text, params_g, body_mult = _lower_train(args.batch, args.norm_stats)
+    elif args.mode == "diffusion":
+        text, params_g, body_mult = _lower_diffusion_train(args.batch, args.norm_stats)
     else:
         text, params_g, body_mult = _lower_ddim(args.batch, args.norm_stats)
 
