@@ -81,10 +81,16 @@ def load_vae_model(
         getattr(config, "norm_stats", DEFAULT_NORM_STATS) if hasattr(config, "autoencoder_def")
         else config.get("norm_stats", DEFAULT_NORM_STATS)
     )
+    # top-level "s2d_stem" extension key (space-to-depth full-res path;
+    # checkpoint-identical, ops/space_to_depth.py) — same placement.
+    s2d_stem = bool(
+        getattr(config, "s2d_stem", False) if hasattr(config, "autoencoder_def")
+        else config.get("s2d_stem", False)
+    )
     model = autoencoder_from_config(
         ae_def, compute_dtype=compute_dtype,
         use_pallas_attention=use_pallas_attention, remat=remat,
-        norm_stats=norm_stats,
+        norm_stats=norm_stats, s2d_stem=s2d_stem,
     )
     variables = load_autoencoder_params(checkpoint_path, model, ae_def)
     return model, variables

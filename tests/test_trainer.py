@@ -317,6 +317,34 @@ def test_trainer_norm_stats_one_pass(dataset, tmp_path):
     np.testing.assert_allclose(last_val(run_dir), last_val(run_dir2), rtol=5e-2)
 
 
+def test_trainer_s2d_stem(dataset, tmp_path):
+    """Config "s2d_stem": true trains end-to-end and lands within fp-noise
+    of the standard form — unlike the norm-stats flip this is the SAME math
+    on a different conv schedule (model-level equivalence pinned by
+    tests/test_autoencoder.py::test_s2d_stem_same_params_outputs_and_grads)."""
+    run_dir = tmp_path / "run_s2d"
+    cfg = _config(dataset, run_dir, max_epochs=1)
+    cfg["s2d_stem"] = True
+    trainer = VAETrainer(cfg, seed=42, num_workers=2, mixed_precision=False)
+    assert trainer.model.s2d_stem is True
+    result = trainer.train()
+    assert np.isfinite(result["best_val_loss"])
+
+    run_dir2 = tmp_path / "run_std"
+    cfg2 = _config(dataset, run_dir2, max_epochs=1)
+    trainer2 = VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False)
+    assert trainer2.model.s2d_stem is False
+    trainer2.train()
+
+    def last_val(rd):
+        return [
+            json.loads(l) for l in (rd / "metrics.jsonl").read_text().splitlines()
+            if "val/recon_loss" in l
+        ][-1]["val/recon_loss"]
+
+    np.testing.assert_allclose(last_val(run_dir), last_val(run_dir2), rtol=2e-2)
+
+
 def test_resolve_ar_settings():
     cfg = {
         "autoencoder_train": {"ar_vae_enabled": "false", "ar_vae_weight": "@unresolved.ref"},

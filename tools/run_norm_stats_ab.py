@@ -61,16 +61,18 @@ for stats in ("two_pass", "one_pass"):
             print(f"# train norm_stats={stats} b{b} FAILED: {type(exc).__name__}: "
                   f"{str(exc)[:300]}", flush=True)
 
-    # inference context row (already at ~101% of conv floor with two_pass;
-    # records whether one_pass moves the deterministic encode+decode at all)
-    try:
-        params_g = jax.jit(model.init)(
-            jax.random.key(0), jnp.zeros((1, bench.HW, bench.HW, 1), jnp.float32),
-            jax.random.key(1))
-        res = bench.bench_inference(model, params_g, 128, peak_tf, peak_bw)
-        print(json.dumps({"row": "inference", "norm_stats": stats, "batch": 128,
-                          "platform": _platform, "hardware": _hardware,
-                          **res}), flush=True)
-    except Exception as exc:
-        print(f"# inference norm_stats={stats} b128 FAILED: {type(exc).__name__}: "
-              f"{str(exc)[:300]}", flush=True)
+    # inference context rows (b128 already at ~101% of conv floor with
+    # two_pass; b8 added in r5 — the shipped-default b8 position was the
+    # one unmeasured cell of the flip's A/B matrix, VERDICT r4 weak #3)
+    for b in (8, 128):
+        try:
+            params_g = jax.jit(model.init)(
+                jax.random.key(0), jnp.zeros((1, bench.HW, bench.HW, 1), jnp.float32),
+                jax.random.key(1))
+            res = bench.bench_inference(model, params_g, b, peak_tf, peak_bw)
+            print(json.dumps({"row": "inference", "norm_stats": stats, "batch": b,
+                              "platform": _platform, "hardware": _hardware,
+                              **res}), flush=True)
+        except Exception as exc:
+            print(f"# inference norm_stats={stats} b{b} FAILED: {type(exc).__name__}: "
+                  f"{str(exc)[:300]}", flush=True)
