@@ -136,3 +136,24 @@ def test_flagship_architecture_dp_sp_train_step():
             init_lpips_params(), jax.random.key(2))
         jax.block_until_ready(new_state.params_g)
     assert np.isfinite(float(metrics["train/loss_total"])), metrics
+
+
+def test_s2d_stem_under_spatial_sharding_matches_unsharded():
+    """s2d_stem composes with dp x sp sharding: the space_to_depth reshape
+    on an H-sharded tensor lowers through GSPMD (resharding collectives are
+    a perf question, not a correctness one — this pins correctness and that
+    the composition compiles at all before any default flip)."""
+    model = AutoencoderKL(**TINY, s2d_stem=True)
+    x = jnp.asarray(np.random.default_rng(7).normal(size=(4, 32, 32, 1)).astype(np.float32))
+    params = model.init(jax.random.key(0), x, jax.random.key(1))
+
+    mesh = make_mesh(jax.devices(), data=4, model=2)
+    batch = shard_batch_spatial(mesh, {"image": x})
+    params_rep = jax.device_put(params, NamedSharding(mesh, P()))
+
+    f = jax.jit(lambda p, xx: model.apply(p, xx, method=model.reconstruct_deterministic))
+    sharded = f(params_rep, batch["image"])
+    unsharded = f(params, x)
+    np.testing.assert_allclose(
+        np.asarray(sharded), np.asarray(unsharded), rtol=1e-4, atol=1e-5
+    )
