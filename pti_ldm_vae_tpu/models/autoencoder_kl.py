@@ -349,9 +349,33 @@ class Encoder(nn.Module):
     use_pallas_attention: bool | None = False  # None: op auto-select at apply
     norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
-    s2d_stem: bool = False  # run level 0 in the space-to-depth domain
+    # run level 0 in the space-to-depth domain: True / False / "auto"
+    # ("auto": apply when eligible — 2-D, even H/W, no level-0 attention,
+    # >= 2 levels — and silently take the standard path otherwise; the
+    # param tree is identical either way, so the choice is trace-local)
+    s2d_stem: bool | str = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    def _use_s2d(self, x: jnp.ndarray) -> bool:
+        eligible = (
+            x.ndim == 4
+            and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+            and not self.attention_levels[0]
+            and len(self.channels) >= 2
+        )
+        if self.s2d_stem == "auto":
+            return eligible
+        if self.s2d_stem and not eligible:
+            # explicit True on an ineligible program is a user error
+            if x.ndim != 4:
+                raise ValueError("s2d_stem requires spatial_dims == 2")
+            if self.attention_levels[0]:
+                raise ValueError("s2d_stem does not support level-0 attention")
+            if len(self.channels) < 2:
+                raise ValueError("s2d_stem requires >= 2 levels")
+            raise ValueError(f"s2d_stem requires even H, W; got {x.shape[1:3]}")
+        return bool(self.s2d_stem)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -368,16 +392,11 @@ class Encoder(nn.Module):
         # checkpoints are interchangeable between remat and non-remat models.
         Res = nn.remat(ResBlock) if self.remat else ResBlock
         Attn = nn.remat(SpatialAttentionBlock) if self.remat else SpatialAttentionBlock
-        if self.s2d_stem:
+        use_s2d = self._use_s2d(x)
+        if use_s2d:
             # Level 0 (the small-channel full-res floor) in the s2d domain:
             # identical math at half resolution with 4x channels; the
             # downsample exits the domain. Param tree unchanged.
-            if x.ndim != 4:
-                raise ValueError("s2d_stem requires spatial_dims == 2")
-            if self.attention_levels[0]:
-                raise ValueError("s2d_stem does not support level-0 attention")
-            if len(self.channels) < 2:
-                raise ValueError("s2d_stem requires >= 2 levels")
             SRes = nn.remat(S2DResBlock) if self.remat else S2DResBlock
             sp = dict(compute_dtype=self.compute_dtype, param_dtype=self.param_dtype)
             h = space_to_depth(x.astype(self.compute_dtype))
@@ -389,7 +408,7 @@ class Encoder(nn.Module):
         else:
             h = nn.Conv(self.channels[0], (3,) * (x.ndim - 2), padding=1, name="conv_in", **p)(x)
         for level, ch in enumerate(self.channels):
-            if self.s2d_stem and level == 0:
+            if use_s2d and level == 0:
                 continue  # handled above in the s2d domain
             for block in range(self.num_res_blocks[level]):
                 h = Res(ch, name=f"down_{level}_res_{block}", **rb)(h)
@@ -436,9 +455,28 @@ class Decoder(nn.Module):
     use_pallas_attention: bool | None = False  # None: op auto-select at apply
     norm_stats: str = DEFAULT_NORM_STATS
     remat: bool = False  # rematerialize block activations in the backward
-    s2d_stem: bool = False  # run the full-res tail in the s2d domain
+    # run the full-res tail in the s2d domain: True / False / "auto" (the
+    # tail's output is even-sized by construction — 2x upsample — so
+    # "auto" needs only 2-D, no full-res attention, >= 2 levels)
+    s2d_stem: bool | str = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
+
+    def _use_s2d(self, z: jnp.ndarray) -> bool:
+        eligible = (
+            z.ndim == 4
+            and not tuple(self.attention_levels)[0]  # == rev_attention[-1]
+            and len(self.channels) >= 2
+        )
+        if self.s2d_stem == "auto":
+            return eligible
+        if self.s2d_stem and not eligible:
+            if z.ndim != 4:
+                raise ValueError("s2d_stem requires spatial_dims == 2")
+            if tuple(self.attention_levels)[0]:
+                raise ValueError("s2d_stem does not support full-res attention")
+            raise ValueError("s2d_stem requires >= 2 levels")
+        return bool(self.s2d_stem)
 
     @nn.compact
     def __call__(self, z: jnp.ndarray) -> jnp.ndarray:
@@ -471,15 +509,9 @@ class Decoder(nn.Module):
             )(h)
             h = Res(rev_channels[0], name="mid_res_2", **rb)(h)
         n_levels = len(rev_channels)
-        if self.s2d_stem:
-            if z.ndim != 4:
-                raise ValueError("s2d_stem requires spatial_dims == 2")
-            if rev_attention[n_levels - 1]:
-                raise ValueError("s2d_stem does not support full-res attention")
-            if n_levels < 2:
-                raise ValueError("s2d_stem requires >= 2 levels")
+        use_s2d = self._use_s2d(z)
         for level, ch in enumerate(rev_channels):
-            if self.s2d_stem and level == n_levels - 1:
+            if use_s2d and level == n_levels - 1:
                 break  # full-res tail handled below in the s2d domain
             for block in range(rev_res_blocks[level]):
                 h = Res(ch, name=f"up_{level}_res_{block}", **rb)(h)
@@ -494,7 +526,7 @@ class Decoder(nn.Module):
                         name=f"up_{level}_attn_{block}",
                     )(h)
             if level != n_levels - 1:
-                if self.s2d_stem and level == n_levels - 2:
+                if use_s2d and level == n_levels - 2:
                     # nearest-2x is the s2d phase-repeat: ENTER the s2d
                     # domain here instead of materializing the 2x tensor.
                     h = S2DUpsample(ch, compute_dtype=self.compute_dtype,
@@ -502,7 +534,7 @@ class Decoder(nn.Module):
                                     name=f"up_{level}_upsample")(h)
                 else:
                     h = Upsample(ch, compute_dtype=self.compute_dtype, param_dtype=self.param_dtype, name=f"up_{level}_upsample")(h)
-        if self.s2d_stem:
+        if use_s2d:
             SRes = nn.remat(S2DResBlock) if self.remat else S2DResBlock
             lvl = n_levels - 1
             for block in range(rev_res_blocks[lvl]):
@@ -571,15 +603,24 @@ class AutoencoderKL(nn.Module):
     # (ops/space_to_depth.py) — the small-channel 256² convs that floor the
     # step lift onto the MXU. Apply-time knob: parameter trees, checkpoints,
     # and init RNG streams are identical to the standard form.
-    s2d_stem: bool = False
+    # True / False / "auto" (apply when eligible, standard path otherwise) /
+    # "encoder" / "decoder" (one side only — the measured win profile
+    # differs per side and batch; docs/s2d_ab_v5e.jsonl).
+    s2d_stem: bool | str = False
     compute_dtype: Any = jnp.float32
     param_dtype: Any = jnp.float32
 
     def setup(self) -> None:
         if self.spatial_dims not in (1, 2, 3):
             raise ValueError(f"spatial_dims must be 1, 2, or 3, got {self.spatial_dims}")
-        if self.s2d_stem and self.spatial_dims != 2:
+        if self.s2d_stem in (True, "encoder", "decoder") and self.spatial_dims != 2:
+            # explicit opt-in on a non-2-D model is a user error; "auto"
+            # silently takes the standard path (trace-local fallback)
             raise ValueError("s2d_stem requires spatial_dims == 2")
+        s2d_enc = self.s2d_stem if self.s2d_stem in (False, True, "auto") else (
+            self.s2d_stem == "encoder")
+        s2d_dec = self.s2d_stem if self.s2d_stem in (False, True, "auto") else (
+            self.s2d_stem == "decoder")
         # None passes through to ops.attention.multi_head_attention, which
         # auto-selects the Pallas flash kernel at APPLY time (TPU backend and
         # >=512 tokens — the measured-win regime; same policy as the UNet).
@@ -610,7 +651,7 @@ class AutoencoderKL(nn.Module):
             use_pallas_attention=attn_pallas,
             norm_stats=self.norm_stats,
             remat=self.remat,
-            s2d_stem=self.s2d_stem,
+            s2d_stem=s2d_enc,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -626,7 +667,7 @@ class AutoencoderKL(nn.Module):
             use_pallas_attention=attn_pallas,
             norm_stats=self.norm_stats,
             remat=self.remat,
-            s2d_stem=self.s2d_stem,
+            s2d_stem=s2d_dec,
             compute_dtype=self.compute_dtype,
             param_dtype=self.param_dtype,
         )
@@ -693,7 +734,7 @@ def autoencoder_from_config(
     use_pallas_attention: bool | None = None,
     norm_stats: str = DEFAULT_NORM_STATS,
     remat: bool = False,
-    s2d_stem: bool = False,
+    s2d_stem: bool | str = False,
     compute_dtype: Any = jnp.float32,
 ) -> AutoencoderKL:
     """Build an AutoencoderKL from a reference-format ``autoencoder_def`` dict

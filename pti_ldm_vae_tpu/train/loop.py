@@ -200,15 +200,18 @@ class VAETrainer:
         # "remat": true (our extension, default off) rematerializes block
         # activations in the backward — lets batch/patch sizes whose stored
         # activations exceed HBM train at the cost of ~one extra forward.
-        # "s2d_stem": true (our extension, default off) runs the full-res
-        # levels in the space-to-depth domain — numerically equivalent and
-        # checkpoint-identical (ops/space_to_depth.py).
+        # "s2d_stem": true|false|"auto" (our extension, default off) runs
+        # the full-res levels in the space-to-depth domain — numerically
+        # equivalent and checkpoint-identical (ops/space_to_depth.py).
+        s2d_stem = cfg.get("s2d_stem", False)
+        if s2d_stem != "auto":
+            s2d_stem = resolve_bool(s2d_stem)
         self.model = autoencoder_from_config(
             cfg["autoencoder_def"], compute_dtype=compute_dtype,
             use_pallas_attention=use_pallas_attention,
             remat=resolve_bool(cfg.get("remat", False)),
             norm_stats=str(cfg.get("norm_stats", DEFAULT_NORM_STATS)),
-            s2d_stem=resolve_bool(cfg.get("s2d_stem", False)),
+            s2d_stem=s2d_stem,
         )
         init_key, disc_key, self.run_key = jax.random.split(self.root_key, 3)
         dummy = jnp.zeros((1, *self.patch_size, 1), jnp.float32)

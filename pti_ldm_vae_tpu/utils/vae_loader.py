@@ -83,10 +83,13 @@ def load_vae_model(
     )
     # top-level "s2d_stem" extension key (space-to-depth full-res path;
     # checkpoint-identical, ops/space_to_depth.py) — same placement.
-    s2d_stem = bool(
+    # True / False / "auto" pass through unchanged.
+    s2d_stem = (
         getattr(config, "s2d_stem", False) if hasattr(config, "autoencoder_def")
         else config.get("s2d_stem", False)
     )
+    if s2d_stem != "auto":
+        s2d_stem = bool(s2d_stem)
     model = autoencoder_from_config(
         ae_def, compute_dtype=compute_dtype,
         use_pallas_attention=use_pallas_attention, remat=remat,

@@ -274,3 +274,60 @@ def test_s2d_stem_guards_and_factory():
     with pytest.raises(ValueError, match="attention"):
         AutoencoderKL(**bad, s2d_stem=True).init(
             jax.random.key(0), jnp.zeros((1, 16, 16, 1)), jax.random.key(1))
+
+
+def test_s2d_stem_auto_mode(tiny_model):
+    """"auto" applies the s2d path when eligible and silently takes the
+    standard path otherwise — params identical either way, so the choice is
+    trace-local (the default-flip candidate must never hard-fail a program
+    the standard form accepts)."""
+    model, variables = tiny_model
+    model_a = AutoencoderKL(**TINY, s2d_stem="auto")
+
+    # eligible (even 16x16): matches the standard form under shared params
+    x = jnp.asarray(
+        np.random.default_rng(3).normal(size=(2, 16, 16, 1)).astype(np.float32))
+    recon, mu, _ = model.apply(variables, x, jax.random.key(2))
+    recon_a, mu_a, _ = model_a.apply(variables, x, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(recon), np.asarray(recon_a),
+                               rtol=1e-4, atol=1e-4)
+
+    # odd input (17x17): the ENCODER auto-falls back to the standard path
+    # (s2d needs even H/W) while the decoder tail stays s2d (its output is
+    # even by construction) — so the program runs and matches the standard
+    # form to fp-reorder tolerance rather than bit-exactly
+    x_odd = jnp.asarray(
+        np.random.default_rng(4).normal(size=(1, 17, 17, 1)).astype(np.float32))
+    v_odd = model.init(jax.random.key(0), x_odd, jax.random.key(1))
+    r_std, _, _ = model.apply(v_odd, x_odd, jax.random.key(2))
+    r_auto, _, _ = model_a.apply(v_odd, x_odd, jax.random.key(2))
+    np.testing.assert_allclose(np.asarray(r_std), np.asarray(r_auto),
+                               rtol=1e-4, atol=1e-4)
+
+    # explicit True on the odd program is a loud error, not silent fallback
+    with pytest.raises(ValueError, match="even"):
+        AutoencoderKL(**TINY, s2d_stem=True).apply(v_odd, x_odd, jax.random.key(2))
+
+    # "auto" on a 3-D model constructs and runs the standard path
+    m3 = AutoencoderKL(**{**TINY, "spatial_dims": 3}, s2d_stem="auto")
+    x3 = jnp.zeros((1, 8, 8, 8, 1))
+    v3 = m3.init(jax.random.key(0), x3, jax.random.key(1))
+    out3, _, _ = m3.apply(v3, x3, jax.random.key(2))
+    assert out3.shape == x3.shape
+
+
+def test_s2d_stem_per_side_modes(tiny_model):
+    """"encoder" / "decoder" apply the s2d path on one side only — both
+    match the standard form under shared params (the measured win profile
+    differs per side and batch, so the knob exposes each side alone)."""
+    model, variables = tiny_model
+    x = jnp.asarray(
+        np.random.default_rng(5).normal(size=(2, 16, 16, 1)).astype(np.float32))
+    recon, mu, _ = model.apply(variables, x, jax.random.key(2))
+    for mode in ("encoder", "decoder"):
+        m = AutoencoderKL(**TINY, s2d_stem=mode)
+        r, z, _ = m.apply(variables, x, jax.random.key(2))
+        np.testing.assert_allclose(np.asarray(recon), np.asarray(r),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(mu), np.asarray(z),
+                                   rtol=1e-4, atol=1e-4)
