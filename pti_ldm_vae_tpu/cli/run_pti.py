@@ -19,6 +19,7 @@ import numpy as np
 from ..checkpoint.orbax_io import save_pytree
 from ..data.factory import create_vae_inference_dataloader
 from ..data.io import write_png, write_tif
+from ..ops.space_to_depth import s2d_auto_mode
 from ..parallel.mesh import make_mesh, place_batch
 from ..train.diffusion import (
     make_pivotal_tuning_inversion_batched,
@@ -59,7 +60,13 @@ def parse_args(argv=None) -> argparse.Namespace:
 def main(argv=None) -> Path:
     args = parse_args(argv)
     init_device_and_seed(args.seed)
-    config, (model, variables) = load_config_and_model(args.config_file, args.checkpoint)
+    # PTI DIFFERENTIATES through the decoder (inversion wrt z, tune wrt
+    # decoder params), so the inference-profile s2d "auto" is wrong here —
+    # resolve from the measured train table instead (decoder transforms'
+    # backward transposes are the same cost class as training's).
+    config, (model, variables) = load_config_and_model(
+        args.config_file, args.checkpoint,
+        s2d_stem=s2d_auto_mode("train", max(args.batch_size, 1)))
     if getattr(model, "spatial_dims", 2) != 2:
         # The TIF/PNG dump path slices [0, :, :, 0] (2-D NHWC); a volume
         # checkpoint would silently write a malformed [D,H,C] slice.

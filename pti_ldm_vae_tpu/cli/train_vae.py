@@ -44,12 +44,15 @@ def parse_args(argv=None) -> argparse.Namespace:
                         help="Activation checkpointing (same as config "
                              "\"remat\": true) — trades ~one extra forward "
                              "for activation memory at large batch/patch sizes")
-    parser.add_argument("--s2d-stem", action="store_true",
+    parser.add_argument("--s2d-stem", nargs="?", const="true", default=None,
+                        choices=("true", "false", "auto", "encoder", "decoder"),
                         help="Space-to-depth full-resolution path (same as "
-                             "config \"s2d_stem\": true): run the encoder "
-                             "level 0 and decoder tail at half resolution "
-                             "with 4x channels — numerically equivalent, "
-                             "checkpoint-identical (ops/space_to_depth.py)")
+                             "config \"s2d_stem\"): run the encoder level 0 "
+                             "and/or decoder tail at half resolution with 4x "
+                             "channels — numerically equivalent, checkpoint-"
+                             "identical (ops/space_to_depth.py). Default "
+                             "\"auto\" resolves per-side from the measured "
+                             "batch table; bare --s2d-stem means \"true\"")
     parser.add_argument("--norm-stats", choices=("two_pass", "one_pass"),
                         default=None,
                         help="GroupNorm statistics formulation (same as config "
@@ -91,8 +94,9 @@ def main(argv=None) -> dict:
         cfg["autoencoder_train"]["lr"] = args.lr
     if args.remat:
         cfg["remat"] = True
-    if args.s2d_stem:
-        cfg["s2d_stem"] = True
+    if args.s2d_stem is not None:
+        cfg["s2d_stem"] = {"true": True, "false": False}.get(
+            args.s2d_stem, args.s2d_stem)
     if args.norm_stats:
         cfg["norm_stats"] = args.norm_stats
 

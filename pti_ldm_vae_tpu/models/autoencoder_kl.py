@@ -43,6 +43,8 @@ from ..ops.norm import DEFAULT_NORM_STATS, group_norm, group_norm_silu
 from ..ops.resize import upsample_nearest_2x
 from ..ops.space_to_depth import (
     depth_to_space,
+    S2D_AUTO_INFER_DECODER_MAX_BATCH,
+    S2D_AUTO_INFER_ENCODER_MAX_BATCH,
     s2d_conv1x1_kernel,
     s2d_conv3x3_kernel,
     s2d_downsample_kernel,
@@ -365,7 +367,11 @@ class Encoder(nn.Module):
             and len(self.channels) >= 2
         )
         if self.s2d_stem == "auto":
-            return eligible
+            # batch-gated from the measured inference table (batch is static
+            # at trace time); training resolves "auto" to its own profile
+            # BEFORE construction (train/loop.py) because the decoder
+            # transform's backward cost is invisible here
+            return eligible and x.shape[0] <= S2D_AUTO_INFER_ENCODER_MAX_BATCH
         if self.s2d_stem and not eligible:
             # explicit True on an ineligible program is a user error
             if x.ndim != 4:
@@ -469,7 +475,9 @@ class Decoder(nn.Module):
             and len(self.channels) >= 2
         )
         if self.s2d_stem == "auto":
-            return eligible
+            # inference-profile batch gate (see Encoder._use_s2d); the
+            # decoder side's crossover is lower than the encoder's
+            return eligible and z.shape[0] <= S2D_AUTO_INFER_DECODER_MAX_BATCH
         if self.s2d_stem and not eligible:
             if z.ndim != 4:
                 raise ValueError("s2d_stem requires spatial_dims == 2")

@@ -54,7 +54,63 @@ __all__ = [
     "s2d_conv1x1_kernel",
     "s2d_downsample_kernel",
     "s2d_repeat_channels",
+    "s2d_auto_mode",
+    "S2D_AUTO_TRAIN_ENCODER_MAX_BATCH",
+    "S2D_AUTO_INFER_ENCODER_MAX_BATCH",
+    "S2D_AUTO_INFER_DECODER_MAX_BATCH",
 ]
+
+# ---------------------------------------------------------------------------
+# Measured "auto" policy (1x v5e, 256², bf16, flagship config).
+#
+# The 4x-MAC exchange wins exactly where the small-channel convs are starved
+# — SMALL batch — and the win profile differs per side and workload:
+# the decoder side's backward pays the transform transposes, so training
+# never wants the decoder in the s2d domain at any measured batch, while
+# small-batch inference wants BOTH sides (+69% at b8). Full table:
+# docs/s2d_ab_v5e.jsonl; crossover sweeps tools/run_s2d_ab{3,4}.py.
+#
+# Thresholds are calibrated PER CHIP. Batch is static at trace time, so the
+# model's Encoder/Decoder gate on the traced batch — which under a jit'd
+# data-parallel mesh is the GLOBAL batch; multi-chip callers should resolve
+# the mode explicitly with their per-chip batch (train/loop.py does).
+# ---------------------------------------------------------------------------
+# train encoder-only: +18% b8, +22% b32, +8.6% b64, -4% b128 (run_s2d_ab3)
+S2D_AUTO_TRAIN_ENCODER_MAX_BATCH = 64
+# inference encoder: +27% b8, +9% b64, -8.7% b128 (run_s2d_ab{,3})
+S2D_AUTO_INFER_ENCODER_MAX_BATCH = 64
+# inference decoder: +24% b8 (full +69%), regresses by b128 (run_s2d_ab{,4})
+S2D_AUTO_INFER_DECODER_MAX_BATCH = 32
+
+
+def s2d_auto_mode(workload: str, batch: int | None) -> "bool | str":
+    """Resolve ``s2d_stem="auto"`` to a concrete mode from the measured table.
+
+    ``workload``: "train" (gradients flow through the model — the decoder
+    transform's backward cost applies) or "inference" (pure applies).
+    ``batch``: per-chip batch; ``None`` means unknown and resolves
+    conservatively to the standard path (False) for train and to the
+    encoder-only form for inference (the encoder side never measured a
+    regression below its threshold and analysis/CLI inference batches are
+    small in practice).
+    """
+    if workload not in ("train", "inference"):
+        raise ValueError(f"workload must be 'train' or 'inference', got {workload!r}")
+    if workload == "train":
+        if batch is not None and batch <= S2D_AUTO_TRAIN_ENCODER_MAX_BATCH:
+            return "encoder"
+        return False
+    if batch is None:
+        return "encoder"
+    enc = batch <= S2D_AUTO_INFER_ENCODER_MAX_BATCH
+    dec = batch <= S2D_AUTO_INFER_DECODER_MAX_BATCH
+    if enc and dec:
+        return True
+    if enc:
+        return "encoder"
+    if dec:
+        return "decoder"
+    return False
 
 
 def space_to_depth(x: jnp.ndarray) -> jnp.ndarray:

@@ -32,6 +32,7 @@ from ..data.io import write_tif
 from ..losses.ar_vae import make_ar_vae_spec
 from ..losses.composite import compute_total_loss
 from ..ops.norm import DEFAULT_NORM_STATS
+from ..ops.space_to_depth import s2d_auto_mode
 from ..models.autoencoder_kl import autoencoder_from_config
 from ..models.discriminator import PatchDiscriminator
 from ..models.lpips import load_lpips_params
@@ -200,11 +201,20 @@ class VAETrainer:
         # "remat": true (our extension, default off) rematerializes block
         # activations in the backward — lets batch/patch sizes whose stored
         # activations exceed HBM train at the cost of ~one extra forward.
-        # "s2d_stem": true|false|"auto" (our extension, default off) runs
-        # the full-res levels in the space-to-depth domain — numerically
-        # equivalent and checkpoint-identical (ops/space_to_depth.py).
-        s2d_stem = cfg.get("s2d_stem", False)
-        if s2d_stem != "auto":
+        # "s2d_stem": true|false|"auto"|"encoder"|"decoder" (our extension,
+        # default "auto") runs the full-res levels in the space-to-depth
+        # domain — numerically equivalent and checkpoint-identical
+        # (ops/space_to_depth.py). "auto" resolves HERE from the measured
+        # TRAIN table (s2d_auto_mode) on the per-chip batch: the model's own
+        # "auto" gate is inference-profile and cannot see that the decoder
+        # transform's transposes will be paid again in the backward.
+        s2d_stem = cfg.get("s2d_stem", "auto")
+        if s2d_stem == "auto":
+            per_chip_batch = max(
+                1, (self.batch_size * jax.process_count())
+                // self.mesh.shape["data"])
+            s2d_stem = s2d_auto_mode("train", per_chip_batch)
+        elif s2d_stem not in ("encoder", "decoder"):
             s2d_stem = resolve_bool(s2d_stem)
         self.model = autoencoder_from_config(
             cfg["autoencoder_def"], compute_dtype=compute_dtype,

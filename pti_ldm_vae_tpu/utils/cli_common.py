@@ -61,7 +61,8 @@ def enable_parity_numerics() -> None:
 
 
 def load_config_and_model(
-    config_file: str, checkpoint_path: str, *, compute_dtype=None, exact: bool = False
+    config_file: str, checkpoint_path: str, *, compute_dtype=None, exact: bool = False,
+    s2d_stem=None,
 ):
     """Reference ``cli_common.py:57-70``: returns (config_namespace, (model, params)).
 
@@ -76,9 +77,12 @@ def load_config_and_model(
     if compute_dtype is None:
         compute_dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
     config = load_vae_config(config_file)
+    # exact mode pins the standard (reference) formulation: s2d reorders
+    # fp contractions, which would eat into the <=1e-3 parity margin
     model, variables = load_vae_model(
         config, checkpoint_path, compute_dtype=compute_dtype,
         use_pallas_attention=False if exact else None,
+        s2d_stem=False if exact else s2d_stem,
     )
     return config, (model, variables)
 

@@ -64,6 +64,7 @@ def load_autoencoder_params(
 def load_vae_model(
     config: Any, checkpoint_path: str, *, compute_dtype=jnp.float32,
     use_pallas_attention: bool | None = None,
+    s2d_stem: "bool | str | None" = None,
 ) -> tuple[AutoencoderKL, Any]:
     """Returns (model, variables) — the functional analog of the reference's
     model-in-eval-mode (``vae_loader.py:27-43``)."""
@@ -83,12 +84,19 @@ def load_vae_model(
     )
     # top-level "s2d_stem" extension key (space-to-depth full-res path;
     # checkpoint-identical, ops/space_to_depth.py) — same placement.
-    # True / False / "auto" pass through unchanged.
-    s2d_stem = (
-        getattr(config, "s2d_stem", False) if hasattr(config, "autoencoder_def")
-        else config.get("s2d_stem", False)
-    )
-    if s2d_stem != "auto":
+    # Default "auto": inference loads gate per side on the traced batch
+    # from the measured table (Encoder/Decoder._use_s2d) — small batches
+    # take the s2d fast path (+69% at b8 on v5e), large ones the standard
+    # form. "auto" / "encoder" / "decoder" pass through unchanged.
+    # The keyword overrides the config (callers that DIFFERENTIATE through
+    # the model — PTI — or pin reference numerics — exact parity mode —
+    # must not inherit the inference-profile "auto").
+    if s2d_stem is None:
+        s2d_stem = (
+            getattr(config, "s2d_stem", "auto") if hasattr(config, "autoencoder_def")
+            else config.get("s2d_stem", "auto")
+        )
+    if s2d_stem not in ("auto", "encoder", "decoder"):
         s2d_stem = bool(s2d_stem)
     model = autoencoder_from_config(
         ae_def, compute_dtype=compute_dtype,
