@@ -772,6 +772,7 @@ def main() -> None:
 
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
+    from pti_ldm_vae_tpu.ops.space_to_depth import s2d_auto_mode
     from pti_ldm_vae_tpu.train.steps import LossConfig, make_train_step
 
     # the benched architecture is the driver's flagship (one definition)
@@ -782,6 +783,19 @@ def main() -> None:
         enable_tpu_compile_cache()
     compute_dtype = jnp.bfloat16 if on_tpu else jnp.float32
     model = autoencoder_from_config(config, compute_dtype=compute_dtype)
+
+    # The bench measures the SHIPPED default path: s2d_stem="auto" resolved
+    # per workload/batch from the measured table (ops/space_to_depth.py) —
+    # exactly what train/loop.py and utils/vae_loader.py resolve. The knob
+    # is apply-time only (params canonical, pinned by tests/test_ops.py),
+    # so one params pytree serves every mode.
+    _s2d_models = {False: model}
+
+    def model_for(mode):
+        if mode not in _s2d_models:
+            _s2d_models[mode] = autoencoder_from_config(
+                config, compute_dtype=compute_dtype, s2d_stem=mode)
+        return _s2d_models[mode]
 
     if not on_tpu:
         # Smoke mode off-TPU: tiny windows, no batch scan (a CPU run of the
@@ -799,8 +813,17 @@ def main() -> None:
         adv_weight=0.0, ar_vae_enabled=False, use_perceptual=True,
     )
 
-    def make_step():
-        return make_train_step(model, None, lcfg, adv_active=False, donate=True)
+    def bench_train_at(batch):
+        # shipped train/loop.py "auto" resolution: train profile, per-chip
+        # batch (single chip here, so batch IS the per-chip batch)
+        mode = s2d_auto_mode("train", batch)
+        m = model_for(mode)
+        row = bench_train(
+            m, lpips_params,
+            lambda: make_train_step(m, None, lcfg, adv_active=False, donate=True),
+            batch, peak_tf, peak_bw)
+        row["s2d_stem"] = mode
+        return row
 
     # --- incremental record: flushed after every family (see _Emitter) ---
     emit = _Emitter()
@@ -814,6 +837,11 @@ def main() -> None:
     emit.set("peak_tflops_bf16", peak_tf)
     emit.set("peak_hbm_gbps", peak_bw)
     emit.set("deadline_s", _DEADLINE_S)
+    emit.set("s2d_policy", (
+        "shipped default s2d_stem='auto' — per-workload/batch resolution "
+        "from the measured v5e table (ops/space_to_depth.py; A/B rows in "
+        "docs/s2d_ab_v5e.jsonl); each row records its resolved mode"
+    ))
     emit.set("measurement", (
         f"best of {WINDOWS} windows x {ITERS} chained steps; every window "
         "ends with a device->host transfer forcing execution (tunnel "
@@ -843,7 +871,7 @@ def main() -> None:
                 roofline[rkey] = rec["conv_roofline_util"]
     emit.set("conv_roofline_util_recorded", roofline)
 
-    train_b8 = bench_train(model, lpips_params, make_step, BATCH, peak_tf, peak_bw)
+    train_b8 = bench_train_at(BATCH)
     emit.set("value", train_b8["imgs_per_sec"])
     emit.set("vs_baseline",
              round(train_b8["imgs_per_sec"] / BASELINE_IMGS_PER_SEC, 3))
@@ -854,8 +882,7 @@ def main() -> None:
     # imgs/s on v5e; 192/256 exceed what the backward pass fits in HBM
     # (remote-compile failure), so don't probe past 128.
     train_best = _probe_batches(
-        train_b8,
-        lambda b: bench_train(model, lpips_params, make_step, b, peak_tf, peak_bw),
+        train_b8, bench_train_at,
         "imgs_per_sec", (64, 128),
         label="train", base_batch=BATCH, enabled=on_tpu, stop_on_failure=False)
     emit.set("train_best", train_best)
@@ -864,14 +891,21 @@ def main() -> None:
     params_g = jax.jit(model.init)(
         jax.random.key(0), jnp.zeros((1, HW, HW, 1)), jax.random.key(1)
     )
-    infer_b8 = bench_inference(model, params_g, BATCH, peak_tf, peak_bw)
+
+    def bench_inference_at(batch):
+        # vae_loader's "auto": per-side gate on the traced batch
+        mode = s2d_auto_mode("inference", batch)
+        row = bench_inference(model_for(mode), params_g, batch, peak_tf, peak_bw)
+        row["s2d_stem"] = mode
+        return row
+
+    infer_b8 = bench_inference_at(BATCH)
     emit.set("inference_encode_decode_b8", infer_b8)
     emit.flush()
     # inference picks its own best batch (its memory envelope differs from
     # training's — the train-best batch need not maximize inference)
     infer_best = _probe_batches(
-        infer_b8,
-        lambda b: bench_inference(model, params_g, b, peak_tf, peak_bw),
+        infer_b8, bench_inference_at,
         "imgs_per_sec", (64, 128),
         label="inference", base_batch=BATCH, enabled=on_tpu,
         stop_on_failure=False)
@@ -891,19 +925,17 @@ def main() -> None:
         adv_weight=3.0, ar_vae_enabled=False, use_perceptual=True,
     )
 
-    def make_adv_step():
-        return make_train_step(model, disc, lcfg_adv, adv_active=True, donate=True)
-
     def bench_train_adv(batch):
         from pti_ldm_vae_tpu.train.state import create_train_state
 
+        m = model_for(s2d_auto_mode("train", batch))
         rng = np.random.default_rng(9)
         images = jnp.asarray(rng.uniform(0.1, 1.0, size=(batch, HW, HW, 1)).astype(np.float32))
         mask = jnp.ones((batch,), jnp.float32)
-        params_g = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
+        params_g = jax.jit(m.init)(jax.random.key(0), images[:1], jax.random.key(1))
         params_d = jax.jit(disc.init)(jax.random.key(2), images[:1])
         state = create_train_state(params_g, lr=2.5e-5, params_d=params_d)
-        step = make_adv_step()
+        step = make_train_step(m, disc, lcfg_adv, adv_active=True, donate=True)
         cost = _cost(step, state, images, mask, {}, lpips_params, jax.random.key(3))
         holder = {"state": state, "key": jax.random.key(4)}
 
@@ -915,8 +947,10 @@ def main() -> None:
 
         _force(run_chain(WARMUP))
         times = _timed_windows(run_chain)
-        return _stats(times, ITERS, batch, float(cost.get("flops", 0.0)),
-                      float(cost.get("bytes accessed", 0.0)), peak_tf, peak_bw)
+        row = _stats(times, ITERS, batch, float(cost.get("flops", 0.0)),
+                     float(cost.get("bytes accessed", 0.0)), peak_tf, peak_bw)
+        row["s2d_stem"] = m.s2d_stem
+        return row
 
     def _row(label, fn):
         """Optional rows must not kill the whole run — the driver needs the
@@ -976,10 +1010,18 @@ def main() -> None:
     # larger batches can now win. Select on what a user gets: images/s at
     # the reference 200/100 recipe. Rows with indeterminate tune
     # differencing lack the key and are never selected.
+    def bench_pti_at(batch):
+        # PTI differentiates through the decoder (inversion wrt z, tune wrt
+        # decoder params) — resolve from the TRAIN profile, the same call
+        # cli/run_pti.py makes
+        mode = s2d_auto_mode("train", batch)
+        row = bench_pti(model_for(mode), params_g, peak_tf, peak_bw, batch=batch)
+        row["s2d_stem"] = mode
+        return row
+
     _family("pti_b8", "pti",
-            lambda: bench_pti(model, params_g, peak_tf, peak_bw),
-            probe_fn=lambda b: bench_pti(model, params_g, peak_tf, peak_bw,
-                                         batch=b),
+            lambda: bench_pti_at(BATCH),
+            probe_fn=bench_pti_at,
             probe_key="pti_images_per_sec_200_100", candidates=(32, 64),
             best_key="pti_best")
 

@@ -153,3 +153,28 @@ def test_s2d_stacked_level_equivalence(size):
 
     np.testing.assert_allclose(np.asarray(s2d_form(x)), np.asarray(full(x)),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_s2d_auto_mode_policy():
+    """Pin the measured "auto" policy (docs/s2d_ab_v5e.jsonl): per-workload,
+    per-side batch gates. These thresholds are calibration data — if the
+    table is re-measured on new hardware, update ops/space_to_depth.py AND
+    this test together."""
+    from pti_ldm_vae_tpu.ops.space_to_depth import s2d_auto_mode
+
+    # train: encoder-only at/below the measured crossover, standard above
+    assert s2d_auto_mode("train", 8) == "encoder"
+    assert s2d_auto_mode("train", 64) == "encoder"
+    assert s2d_auto_mode("train", 128) is False
+    assert s2d_auto_mode("train", None) is False  # unknown -> conservative
+
+    # inference: both sides at small batch (+69% b8), encoder-only in the
+    # mid range, standard at large batch
+    assert s2d_auto_mode("inference", 8) is True
+    assert s2d_auto_mode("inference", 32) is True
+    assert s2d_auto_mode("inference", 64) == "encoder"
+    assert s2d_auto_mode("inference", 128) is False
+    assert s2d_auto_mode("inference", None) == "encoder"
+
+    with pytest.raises(ValueError):
+        s2d_auto_mode("sampling", 8)

@@ -332,6 +332,9 @@ def test_trainer_s2d_stem(dataset, tmp_path):
 
     run_dir2 = tmp_path / "run_std"
     cfg2 = _config(dataset, run_dir2, max_epochs=1)
+    # pin the standard form explicitly: the default is now "auto", which at
+    # this per-chip batch resolves to "encoder" (s2d_auto_mode)
+    cfg2["s2d_stem"] = False
     trainer2 = VAETrainer(cfg2, seed=42, num_workers=2, mixed_precision=False)
     assert trainer2.model.s2d_stem is False
     trainer2.train()
@@ -423,3 +426,13 @@ def test_validation_image_dumps(e2e_run):
     rec = read_image(str(epoch_dir / "reconstruction" / "step000.tif"))
     assert img.shape == rec.shape == (32, 32)
     assert np.isfinite(img).all() and np.isfinite(rec).all()
+
+
+def test_trainer_s2d_auto_default_resolves_from_train_profile(dataset, tmp_path):
+    """Default config (no "s2d_stem" key) resolves "auto" at construction
+    from the TRAIN profile on the per-chip batch — at this tiny batch that
+    is "encoder" (s2d_auto_mode), never the model-level inference gate."""
+    cfg = _config(dataset, tmp_path / "run_auto", max_epochs=1)
+    assert "s2d_stem" not in cfg
+    trainer = VAETrainer(cfg, seed=42, num_workers=0, mixed_precision=False)
+    assert trainer.model.s2d_stem == "encoder"
