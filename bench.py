@@ -869,6 +869,13 @@ def main() -> None:
                 rec = json.load(fh)
             if rec.get("conv_roofline_util") is not None:
                 roofline[rkey] = rec["conv_roofline_util"]
+    if roofline:
+        # These artifacts price the STANDARD (s2d_stem=False) conv program.
+        # Rows whose resolved s2d mode is not False run a different conv set
+        # (4x channels at half resolution at the stem), so their measured
+        # step is not comparable to these floors; see docs/s2d_ab_v5e.jsonl
+        # for the like-for-like A/B.
+        roofline["_conv_program"] = "s2d_stem=False"
     emit.set("conv_roofline_util_recorded", roofline)
 
     train_b8 = bench_train_at(BATCH)

@@ -360,13 +360,14 @@ def _measure_program(run_chain, iters: int) -> float:
 from __graft_entry__ import FLAGSHIP_CONFIG as CONFIG  # noqa: E402
 
 
-def build_inference(batch: int):
+def build_inference(batch: int, s2d_stem=False):
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.train.steps import make_inference_fn
 
     on_tpu = jax.default_backend() == "tpu"
     model = autoencoder_from_config(
-        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        s2d_stem=s2d_stem,
     )
     images = jnp.zeros((batch, 256, 256, 1), jnp.float32)
     params = jax.jit(model.init)(jax.random.key(0), images[:1], jax.random.key(1))
@@ -471,7 +472,7 @@ def build_diffusion_train(batch: int):
     return lowered, run_chain
 
 
-def build_train(batch: int):
+def build_train(batch: int, s2d_stem=False):
     from pti_ldm_vae_tpu.models.autoencoder_kl import autoencoder_from_config
     from pti_ldm_vae_tpu.models.lpips import init_lpips_params
     from pti_ldm_vae_tpu.train.state import create_train_state
@@ -479,7 +480,8 @@ def build_train(batch: int):
 
     on_tpu = jax.default_backend() == "tpu"
     model = autoencoder_from_config(
-        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32
+        CONFIG, compute_dtype=jnp.bfloat16 if on_tpu else jnp.float32,
+        s2d_stem=s2d_stem,
     )
     rng = np.random.default_rng(0)
     images = jnp.asarray(
@@ -544,7 +546,12 @@ def main() -> None:
                     "each burn the full timeout before falling back to the "
                     "scaled measurement.")
     ap.add_argument("--json", default=None)
+    ap.add_argument("--s2d", default="false",
+                    choices=("false", "true", "encoder", "decoder"),
+                    help="price the s2d_stem conv program instead of the "
+                         "standard one (inference/train modes only)")
     args = ap.parse_args()
+    s2d_stem = {"false": False, "true": True}.get(args.s2d, args.s2d)
     if args.probe_timeout is not None:
         global _PROBE_TIMEOUT_S
         _PROBE_TIMEOUT_S = args.probe_timeout
@@ -560,9 +567,9 @@ def main() -> None:
 
     body_mult = 1
     if args.mode == "inference":
-        lowered, run_chain = build_inference(args.batch)
+        lowered, run_chain = build_inference(args.batch, s2d_stem=s2d_stem)
     elif args.mode == "train":
-        lowered, run_chain = build_train(args.batch)
+        lowered, run_chain = build_train(args.batch, s2d_stem=s2d_stem)
     elif args.mode == "diffusion":
         lowered, run_chain = build_diffusion_train(args.batch)
     else:
@@ -639,6 +646,7 @@ def main() -> None:
     result = {
         "mode": args.mode,
         "batch": args.batch,
+        "s2d_stem": s2d_stem,
         "hardware": jax.devices()[0].device_kind,
         "n_convs": len(convs) * body_mult,
         "conv_gflops_per_step": round(total_conv_gflops, 2),
